@@ -1,0 +1,67 @@
+"""Benchmark runner (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from p6_spark.plans import get_queries  # noqa: E402
+from p6_spark.session import get_spark  # noqa: E402
+
+# Representative headline set: scan-agg, selective filter, star join,
+# outer join + double agg, window top-k, rollup, distinct, text + dedup +
+# similarity operators. Keep under ~30 s total at sf0.1.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q06_revenue_filter",
+    "q03_shipping_priority",
+    "q05_region_revenue",
+    "q13_orders_per_customer",
+    "q_topk_orders_per_segment",
+    "q_rollup_orders",
+    "q_distinct_counts",
+    "q_conditional_agg",
+    "q_tumbling_events",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("p6_spark_bench")
+    qs = get_queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # one warmup action so JVM/codegen startup isn't billed to q1
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+"""HGVS string handling as Column expressions.
+
+Mirrors reference parsing of genomic (g.) SNV strings and transcript (c.)
+strings (src/P6/genotype.py:67-91,236-270) plus the intra-row
+HGVS-vs-raw-coordinate consistency predicate (src/P6/mapper.py:444-500).
+All pure column logic — no joins, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ``chr16:g.16177614C>T`` / ``16:g.100A>G``
+_G_SNV = r"^(?:[Cc][Hh][Rr])?([0-9XYMTxymt]+):[gG]\.(\d+)([ACGTacgt]+)>([ACGTacgt]+)$"
+# ``NM_000000.0:c.100A>G`` / ``ENST00000205557.12:c.2428G>A``
+_C_SPLIT = r"^([A-Za-z_0-9]+(?:\.\d+)?):([cC]\..+)$"
+
+
+def hgvs_g_parts(col: Column) -> dict[str, Column]:
+    s = F.trim(col.cast("string"))
+    return {
+        "chrom": F.regexp_extract(s, _G_SNV, 1),
+        "pos": F.regexp_extract(s, _G_SNV, 2).cast("long"),
+        "ref": F.upper(F.regexp_extract(s, _G_SNV, 3)),
+        "alt": F.upper(F.regexp_extract(s, _G_SNV, 4)),
+    }
+
+
+def hgvs_g_normalize(col: Column) -> Column:
+    """Normalize a g. SNV: strip ``chr``, uppercase alleles →
+    ``16:g.100A>G`` (reference src/P6/genotype.py:252-270). Non-SNV
+    strings just lose a leading ``chr``."""
+    p = hgvs_g_parts(col)
+    s = F.trim(col.cast("string"))
+    return F.when(
+        p["chrom"] != "",
+        F.concat(p["chrom"], F.lit(":g."), p["pos"].cast("string"), p["ref"], F.lit(">"), p["alt"]),
+    ).otherwise(F.regexp_replace(s, r"^[Cc][Hh][Rr]", ""))
+
+
+def hgvs_c_parts(col: Column) -> tuple[Column, Column]:
+    """(transcript, c-part) split (reference src/P6/genotype.py:80-91)."""
+    s = F.trim(col.cast("string"))
+    t = F.regexp_extract(s, _C_SPLIT, 1)
+    c = F.regexp_extract(s, _C_SPLIT, 2)
+    null = F.lit(None).cast("string")
+    return (F.when(t == "", null).otherwise(t), F.when(c == "", null).otherwise(c))
+
+
+def hgvs_raw_consistent(
+    hgvsg: Column,
+    chromosome: Column,
+    start_position: Column,
+    end_position: Column,
+    reference: Column,
+    alternate: Column,
+) -> Column:
+    """Theta-predicate: does the g. string agree with raw coordinates?
+    (reference src/P6/mapper.py:444-500, J3 in SURVEY §2.5)
+
+    chromosome equal chr-insensitively; positions either 1-based
+    (start==pos and end==pos) or BED-like (start==pos-1 and end==pos);
+    ref/alt equal case-insensitively. Unparseable g. strings are vacuously
+    consistent (the reference only warns when it can compare).
+    """
+    p = hgvs_g_parts(hgvsg)
+    raw_chrom = F.lower(F.regexp_replace(F.trim(chromosome.cast("string")), r"^[Cc][Hh][Rr]", ""))
+    g_chrom = F.lower(p["chrom"])
+    st = start_position.cast("long")
+    en = end_position.cast("long")
+    pos_ok = ((st == p["pos"]) & (en == p["pos"])) | ((st == p["pos"] - 1) & (en == p["pos"]))
+    alleles_ok = (F.upper(F.trim(reference.cast("string"))) == p["ref"]) & (
+        F.upper(F.trim(alternate.cast("string"))) == p["alt"]
+    )
+    comparable = p["chrom"] != ""
+    return F.when(comparable, (g_chrom == raw_chrom) & pos_ok & alleles_ok).otherwise(F.lit(True))

@@ -1,0 +1,59 @@
+"""Query registry: the declared operator surface.
+
+Each entry pairs an idiomatic PySpark DataFrame implementation with an
+ANSI-SQL oracle string that DuckDB runs on the same parquet tables (the
+driver's t2 gate hashes both results). Conventions that make exact
+hash-matching possible:
+
+- Every computed column is aliased identically on both sides.
+- Double aggregations go through ``decimal(38,12)`` per-row casts so the
+  sum is exact integer arithmetic — associative, so partition order
+  (Spark) vs sequential order (DuckDB) cannot change the result. The
+  final value is cast back to double.
+- Timestamps are never emitted raw: formatted strings / extracted ints.
+- Every top-k has a total-order tiebreaker.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Query:
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None => driver records rows-only check
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = ()):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = Query(name=name, build=fn, oracle=oracle, doc=doc, tags=tags)
+        return fn
+
+    return deco
+
+
+def _load_all() -> None:
+    # Importing registers queries via the decorator.
+    from p6_spark.plans import core_relational  # noqa: F401
+    from p6_spark.plans import p6_parity  # noqa: F401
+    from p6_spark.plans import llm_ops  # noqa: F401
+
+
+def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_all()
+    return {name: q.build for name, q in QUERIES.items()}
+
+
+def get_oracles() -> dict[str, str]:
+    _load_all()
+    return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}
