@@ -21,7 +21,7 @@ def hgvs_g_parts(col: Column) -> dict[str, Column]:
     s = F.trim(col.cast("string"))
     return {
         "chrom": F.regexp_extract(s, _G_SNV, 1),
-        "pos": F.regexp_extract(s, _G_SNV, 2).cast("long"),
+        "pos": F.regexp_extract(s, _G_SNV, 2).try_cast("long"),
         "ref": F.upper(F.regexp_extract(s, _G_SNV, 3)),
         "alt": F.upper(F.regexp_extract(s, _G_SNV, 4)),
     }
@@ -67,8 +67,8 @@ def hgvs_raw_consistent(
     p = hgvs_g_parts(hgvsg)
     raw_chrom = F.lower(F.regexp_replace(F.trim(chromosome.cast("string")), r"^[Cc][Hh][Rr]", ""))
     g_chrom = F.lower(p["chrom"])
-    st = start_position.cast("long")
-    en = end_position.cast("long")
+    st = start_position.try_cast("long")
+    en = end_position.try_cast("long")
     pos_ok = ((st == p["pos"]) & (en == p["pos"])) | ((st == p["pos"] - 1) & (en == p["pos"]))
     alleles_ok = (F.upper(F.trim(reference.cast("string"))) == p["ref"]) & (
         F.upper(F.trim(alternate.cast("string"))) == p["alt"]

@@ -44,7 +44,7 @@ def normalize_time_like(col: Column) -> Column:
     ``20200101`` -> ``T20200101``, ``T0`` -> ``T0``.
     """
     s = F.trim(col.cast("string"))
-    as_long = s.cast("long")
+    as_long = s.try_cast("long")
     return (
         F.when(col.isNull() | (s == ""), F.lit(""))
         .when(as_long.isNotNull(), F.concat(F.lit("T"), as_long.cast("string")))

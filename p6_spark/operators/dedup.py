@@ -1,0 +1,170 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, cheapest first — the standard 100 TB dedup funnel:
+
+1. exact         — md5(text) groupBy: one shuffle on the 16-byte digest,
+                   never on the document body.
+2. simhash       — 16-bit signature per doc; near-dups share signatures.
+                   Linear scan, no pairwise work.
+3. minhash + LSH — banded minhash signatures; candidate pairs come from
+                   a self-join on (band_idx, band_hash) buckets, so the
+                   pairwise explosion is confined to bucket collisions
+                   (O(n) + collisions, not O(n^2)).
+4. n-gram Jaccard— exact verification on candidate pairs only.
+
+All hashes are md5-derived (see text.md5_int) so results are
+engine-portable and oracle-checkable. At scale: the token explode is a
+flatMap (no shuffle); signatures aggregate with map-side combine; only
+the tiny (id, band) stream shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from p6_spark.operators.text import md5_int, tokens
+
+
+def exact_dup_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus-level exact-duplicate statistics via content digest."""
+    digests = df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+    groups = digests.groupBy("digest").agg(F.count(F.lit(1)).alias("n"))
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_distinct_texts"),
+        F.sum("n").alias("n_docs"),
+        F.count(F.when(F.col("n") > 1, 1)).alias("n_dup_groups"),
+        F.coalesce(F.sum(F.when(F.col("n") > 1, F.col("n") - 1)), F.lit(0)).alias(
+            "n_redundant_docs"
+        ),
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative per exact text (deterministic winner
+    — plain dropDuplicates keeps an arbitrary row, which isn't replayable)."""
+    keep = df.groupBy(text_col).agg(F.min(id_col).alias(id_col))
+    return df.join(keep, [text_col, id_col], "left_semi")
+
+
+def distinct_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", num_hashes: int = 8
+) -> DataFrame:
+    """MinHash signature per document: h_i = min over distinct tokens of
+    md5_int(i || '_' || token). One explode + one groupBy(id) with
+    map-side combine — the scan dominates at scale."""
+    toks = distinct_tokens(df, id_col, text_col)
+    aggs = [
+        F.min(md5_int(F.concat(F.lit(f"{i}_"), F.col("tok")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return toks.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", num_hashes: int = 8, band_size: int = 2
+) -> DataFrame:
+    """Band the signatures and self-join on bucket: docs agreeing on ALL
+    hashes of any band become a candidate pair (a < b, distinct)."""
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    "_", *[F.col(f"h{b * band_size + j}").cast("string") for j in range(band_size)]
+                ).alias("band_val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sigs.select(F.col(id_col), F.explode(bands).alias("band")).select(
+        F.col(id_col),
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_val").alias("band_val"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash16(text: Column) -> Column:
+    """16-bit SimHash over distinct tokens: bit b of the signature is set
+    iff sum over tokens of sign((md5_int(token) >> b) & 1) is positive.
+    Pure integer expressions — a linear scan, no pairwise work."""
+    toks = F.array_distinct(tokens(text))
+    hashes = F.transform(toks, lambda t: md5_int(t))
+
+    def vote_fn(bit: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    sig = F.lit(0).cast("long")
+    for b in range(16):
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), vote_fn(b))
+        sig = sig + F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Array of n-word shingles (space-joined), order-preserving."""
+    toks = tokens(text)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram-shingle Jaccard for every pair sharing >= 1 shingle.
+    |A ∩ B| from a self-join on distinct shingles; |A ∪ B| = |A|+|B|-∩.
+    At scale this runs AFTER LSH banding has cut the candidate set."""
+    sh = df.select(
+        F.col(id_col), F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("sh")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a")
+    sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )

@@ -1,6 +1,408 @@
-"""LLM-training-data pipeline operators: deduplication (exact, MinHash-LSH,
-SimHash, n-gram Jaccard), similarity search over embeddings, text
-analysis (language-ID, quality, token counts, fingerprints).
+"""LLM-training-data pipeline queries: deduplication (exact, MinHash-LSH,
+SimHash, n-gram Jaccard), similarity search over embeddings (brute-force
+cosine + LSH ANN), text analysis (tokens/quality, language-ID,
+fingerprinting), and approximate sketches.
+
+Implementations live in p6_spark.operators.{dedup,similarity,text}; this
+module registers them with DuckDB oracles. Ratio metrics are emitted as
+integer-scaled values (x1e4/x1e6 with integer div) so every column is
+exact integer arithmetic — engine-portable by construction.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from p6_spark.operators import dedup as dd
+from p6_spark.operators import similarity as sim
+from p6_spark.operators.text import STOPWORDS, fingerprint, lang_id, tokens
+from p6_spark.plans.registry import register
+from p6_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# shared DuckDB SQL fragments
+# ---------------------------------------------------------------------------
+
+_SQL_TOKENS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+_SQL_MD5INT = "('0x' || substr(md5({x}), 1, 8))::bigint"
+
+
+def _sql_minhash_sig(where: str, num_hashes: int = 8) -> str:
+    parts = []
+    for i in range(num_hashes):
+        seeded = "'" + str(i) + "_' || tok"
+        parts.append(f"min({_SQL_MD5INT.format(x=seeded)}) AS h{i}")
+    hashes = ",\n         ".join(parts)
+    return f"""
+toks AS (
+  SELECT doc_id, unnest(list_distinct({_SQL_TOKENS})) AS tok
+  FROM documents WHERE {where}
+),
+sig AS (
+  SELECT doc_id,
+         {hashes}
+  FROM toks GROUP BY doc_id
+)"""
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dd_exact_stats",
+    oracle="""
+WITH groups AS (
+  SELECT md5(text) AS digest, count(*) AS n FROM documents GROUP BY md5(text)
+)
+SELECT count(*) AS n_distinct_texts,
+       sum(n) AS n_docs,
+       count(*) FILTER (WHERE n > 1) AS n_dup_groups,
+       coalesce(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END), 0) AS n_redundant_docs
+FROM groups
+""",
+    doc="Exact dedup via content digest: shuffle the 16-byte md5, never the "
+    "document body. The first tier of the dedup funnel.",
+    tags=("dedup",),
+)
+def dd_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dup_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dd_minhash_lsh_pairs",
+    oracle=f"""
+WITH {_sql_minhash_sig('doc_id < 150')},
+bands AS (
+  SELECT doc_id, 0 AS band_idx, cast(h0 AS varchar) || '_' || cast(h1 AS varchar) AS band_val FROM sig
+  UNION ALL
+  SELECT doc_id, 1, cast(h2 AS varchar) || '_' || cast(h3 AS varchar) FROM sig
+  UNION ALL
+  SELECT doc_id, 2, cast(h4 AS varchar) || '_' || cast(h5 AS varchar) FROM sig
+  UNION ALL
+  SELECT doc_id, 3, cast(h6 AS varchar) || '_' || cast(h7 AS varchar) FROM sig
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+""",
+    doc="MinHash (8 md5-derived hash functions) + LSH banding (4 bands x 2 "
+    "rows): near-dup candidate pairs from bucket collisions — O(n)+collisions "
+    "instead of O(n^2). Reference has only exact-ish per-packet dedup "
+    "(src/P6/genotype.py:334-354); this is the corpus-scale generalization.",
+    tags=("dedup", "lsh"),
+)
+def dd_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    sigs = dd.minhash_signatures(docs, num_hashes=8)
+    return dd.lsh_candidate_pairs(sigs, num_hashes=8, band_size=2).orderBy("id_a", "id_b")
+
+
+def _sql_simhash(num_bits: int = 16) -> str:
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(num_bits)
+    )
+    bits = " + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(num_bits))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_SQL_TOKENS})) AS tok
+  FROM documents WHERE doc_id < 200
+),
+hashed AS (
+  SELECT doc_id, {_SQL_MD5INT.format(x='tok')} AS h FROM toks
+),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, cast({bits} AS bigint) AS simhash
+FROM votes ORDER BY doc_id
+"""
+
+
+@register(
+    "dd_simhash",
+    oracle=_sql_simhash(),
+    doc="16-bit SimHash signatures: linear scan, near-dups share signatures "
+    "(or differ in <= 2 bits). Integer-only arithmetic, engine-portable.",
+    tags=("dedup", "simhash"),
+)
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return docs.select("doc_id", dd.simhash16(F.col("text")).alias("simhash")).orderBy("doc_id")
+
+
+@register(
+    "dd_ngram_jaccard",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_TOKENS} AS t FROM documents WHERE doc_id < 120
+),
+shingled AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           CASE WHEN len(t) >= 3
+                THEN list_transform(generate_series(1, len(t) - 2),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                ELSE [array_to_string(t, ' ')] END)) AS sh
+  FROM base
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingled GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM shingled a JOIN shingled b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common,
+       (n_common * 1000000) // (sa.n_sh + sb.n_sh - n_common) AS jaccard_x1e6
+FROM inter JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+WHERE (n_common * 1000000) // (sa.n_sh + sb.n_sh - n_common) >= 10000
+ORDER BY id_a, id_b
+""",
+    doc="Exact 3-word-shingle Jaccard on pairs sharing a shingle (at scale: "
+    "on LSH candidates only). Jaccard emitted integer-scaled (x1e6, floor "
+    "div) so the comparison is exact integer arithmetic.",
+    tags=("dedup", "jaccard"),
+)
+def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(dd.word_shingles(F.col("text"), 3))).alias("sh")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = (F.col("n_common") * 1000000).cast("long") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard_x1e6",
+            F.expr("(n_common * 1000000) div (n_a + n_b - n_common)"),
+        )
+        .filter(F.col("jaccard_x1e6") >= 10000)
+        .select("id_a", "id_b", "n_common", "jaccard_x1e6")
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "txt_quality",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, text, {_SQL_TOKENS} AS t,
+         length(text) AS n_char
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_char, len(t) AS n_tok,
+         length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+         len(list_filter(t, x -> list_contains(['the','a','value','table','row'], lower(x)))) AS n_stop
+  FROM base
+)
+SELECT doc_id, n_char AS n_chars, n_tok AS n_tokens,
+       CASE WHEN n_tok > 0 THEN ((n_char - (n_tok - 1)) * 10000) // n_tok ELSE 0 END AS avg_token_len_x1e4,
+       (n_punct * 1000000) // greatest(n_char, 1) AS punct_ratio_x1e6,
+       (n_digit * 1000000) // greatest(n_char, 1) AS digit_ratio_x1e6,
+       (n_stop * 1000000) // greatest(n_tok, 1) AS stopword_ratio_x1e6
+FROM m ORDER BY doc_id
+""",
+    doc="Quality-scoring columns (length, token stats, punct/digit/stopword "
+    "ratios) — the cheap pre-dedup filter pass. Integer-scaled ratios.",
+    tags=("text",),
+)
+def txt_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    return (
+        docs.withColumn("n_tok", F.size(t))
+        .withColumn("n_char", F.length("text"))
+        .withColumn("n_punct", F.length(F.regexp_replace(F.col("text"), r"[^.,;:!?'\"()-]", "")))
+        .withColumn("n_digit", F.length(F.regexp_replace(F.col("text"), r"[^0-9]", "")))
+        .withColumn("n_stop", F.size(F.filter(t, lambda x: F.array_contains(sw, F.lower(x)))))
+        .selectExpr(
+            "doc_id",
+            "cast(n_char as bigint) AS n_chars",
+            "cast(n_tok as bigint) AS n_tokens",
+            "CASE WHEN n_tok > 0 THEN ((n_char - (n_tok - 1)) * 10000) div n_tok ELSE 0 END"
+            " AS avg_token_len_x1e4",
+            "(n_punct * 1000000) div greatest(n_char, 1) AS punct_ratio_x1e6",
+            "(n_digit * 1000000) div greatest(n_char, 1) AS digit_ratio_x1e6",
+            "(n_stop * 1000000) div greatest(n_tok, 1) AS stopword_ratio_x1e6",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "txt_langid",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, lang AS actual_lang,
+         len(list_intersect(list_distinct(list_transform(
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''), y -> lower(y))),
+             ['the','a','value','table','row'])) AS s_en,
+         len(list_intersect(list_distinct(list_transform(
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''), y -> lower(y))),
+             ['der','die','das','und'])) AS s_de,
+         len(list_intersect(list_distinct(list_transform(
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''), y -> lower(y))),
+             ['le','la','et','les'])) AS s_fr,
+         len(list_intersect(list_distinct(list_transform(
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''), y -> lower(y))),
+             ['el','la','los','que'])) AS s_es,
+         len(list_intersect(list_distinct(list_transform(
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''), y -> lower(y))),
+             ['de','shi','bu'])) AS s_zh
+  FROM documents
+),
+pred AS (
+  SELECT doc_id, actual_lang,
+         CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+              WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+              WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+              WHEN s_es > 0 AND s_es >= s_zh THEN 'es'
+              WHEN s_zh > 0 THEN 'zh'
+              ELSE 'unknown' END AS predicted_lang
+  FROM scored
+)
+SELECT predicted_lang, actual_lang, count(*) AS n
+FROM pred GROUP BY 1, 2 ORDER BY predicted_lang, actual_lang
+""",
+    doc="Language-ID heuristic: stopword-list hit counts over the distinct "
+    "token set, argmax with fixed priority tie-break. A linear scan.",
+    tags=("text", "langid"),
+)
+def txt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.col("lang").alias("actual_lang"),
+            lang_id(F.col("text")).alias("predicted_lang"),
+        )
+        .groupBy("predicted_lang", "actual_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("predicted_lang", "actual_lang")
+    )
+
+
+@register(
+    "txt_fingerprint",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_TOKENS} AS t FROM documents WHERE doc_id < 300
+),
+hashed AS (
+  SELECT doc_id, list_transform(t, tok -> {_SQL_MD5INT.format(x='tok')}) AS hs FROM base
+)
+SELECT doc_id,
+       list_reduce(list_prepend(0::bigint, hs), (a, b) -> (a * 31 + b) % 1000000007) AS fp
+FROM hashed ORDER BY doc_id
+""",
+    doc="Order-sensitive rolling document fingerprint (polynomial hash of "
+    "the md5'd token sequence mod 1e9+7) — catches reorder-insensitive "
+    "collisions that bag-of-tokens digests miss.",
+    tags=("text", "fingerprint"),
+)
+def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_cosine_topk",
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, embedding::double[] AS qvec FROM embeddings WHERE vec_id < 3),
+c AS (SELECT vec_id AS match_id, embedding::double[] AS cvec FROM embeddings),
+scored AS (
+  SELECT query_id, match_id,
+         round(list_inner_product(qvec, cvec)
+               / (sqrt(list_inner_product(qvec, qvec)) * sqrt(list_inner_product(cvec, cvec))), 6) AS cos_sim
+  FROM q, c WHERE match_id <> query_id
+),
+ranked AS (
+  SELECT query_id, match_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, match_id) AS rnk
+  FROM scored
+)
+SELECT query_id, match_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
+ORDER BY query_id, rnk
+""",
+    doc="Brute-force cosine top-k (exact baseline): broadcast the query "
+    "set, stream the corpus, fold the dot product in codegen. Cosine "
+    "rounded to 6 dp before ranking for cross-engine determinism.",
+    tags=("similarity",),
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    return sim.brute_force_topk(emb, queries, k=5)
+
+
+@register(
+    "sim_lsh_ann",
+    oracle=None,  # LSH bucketing is verified by recall tests, not SQL parity
+    doc="ANN top-k via random-hyperplane LSH (8 md5-derived planes): "
+    "signature equi-join replaces the cross join. Recall vs brute force "
+    "asserted in tests/test_similarity.py.",
+    tags=("similarity", "lsh"),
+)
+def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    return sim.lsh_ann_topk(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Approximate sketches (rows-only: sketch internals differ per engine)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_approx_sketches",
+    oracle=None,
+    doc="HLL++ approx distinct + approximate percentiles — the sketches a "
+    "100 TB profile pass uses instead of exact distinct/sort. Rows-only: "
+    "sketch results are engine-specific by design; the exact counterparts "
+    "are oracle-checked in q_distinct_counts.",
+    tags=("sketch", "agg"),
+)
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
+            "price_percentiles"
+        ),
+    )
