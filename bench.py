@@ -24,12 +24,19 @@ HEADLINE = [
     "q06_revenue_filter",
     "q03_shipping_priority",
     "q05_region_revenue",
+    "q07_nation_volume",
     "q13_orders_per_customer",
+    "q18_large_orders",
     "q_topk_orders_per_segment",
     "q_rollup_orders",
     "q_distinct_counts",
     "q_conditional_agg",
     "q_tumbling_events",
+    "q_sessionize",
+    "dd_exact_stats",
+    "dd_minhash_lsh_pairs",
+    "txt_quality",
+    "sim_cosine_topk",
 ]
 
 

@@ -63,19 +63,22 @@ def brute_force_topk(
     )
 
 
-def hyperplane_sign(plane: int, dim_index: Column) -> Column:
-    """Deterministic ±1 component of pseudo-random hyperplane `plane` at
-    dimension `dim_index` (md5 parity — reproducible in any engine)."""
-    h = md5_int(F.concat(F.lit(f"plane{plane}_"), dim_index.cast("string")))
+def hyperplane_sign(plane: int, dim_index: Column, table: int = 0) -> Column:
+    """Deterministic ±1 component of pseudo-random hyperplane `plane` of
+    LSH table `table` at dimension `dim_index` (md5 parity —
+    reproducible in any engine)."""
+    h = md5_int(
+        F.concat(F.lit(f"t{table}_plane{plane}_"), dim_index.cast("string"))
+    )
     return F.when(h % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
 
 
-def lsh_signature(vec_col: Column, num_planes: int = 8) -> Column:
+def lsh_signature(vec_col: Column, num_planes: int = 8, table: int = 0) -> Column:
     """Bit-packed random-hyperplane signature of an embedding."""
     comp = F.transform(vec_col, lambda x: x.cast("double"))
 
     def proj_fn(plane: int):
-        return lambda x, i: x * hyperplane_sign(plane, i)
+        return lambda x, i: x * hyperplane_sign(plane, i, table)
 
     sig = F.lit(0).cast("long")
     for p in range(num_planes):
@@ -93,29 +96,41 @@ def lsh_ann_topk(
     queries: DataFrame,
     k: int = 5,
     num_planes: int = 8,
+    num_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """ANN top-k: equi-join on LSH signature (bucket), exact cosine
     re-rank within buckets. The signature join replaces the cross join —
     at 100 TB that is the difference between a shuffle on a long key and
-    an O(n^2) explosion. Recall is tested against brute force in
-    tests/test_similarity.py."""
+    an O(n^2) explosion.
+
+    OR-amplification: `num_tables` independent hyperplane sets; a corpus
+    row is a candidate for a query if their signatures agree in ANY
+    table (posexplode over per-table sigs → equi-join on (table, sig) →
+    distinct candidate pairs). More tables = higher recall at linear
+    index cost — the standard recall/cost dial. Recall is tested against
+    brute force in tests/test_similarity.py."""
+    sigs = F.array(
+        *[lsh_signature(F.col(vec_col), num_planes, t) for t in range(num_tables)]
+    )
     c = corpus.select(
         F.col(id_col).alias("match_id"),
         F.col(vec_col).alias("cvec"),
-        lsh_signature(F.col(vec_col), num_planes).alias("sig"),
+        F.posexplode(sigs).alias("tbl", "sig"),
     )
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qvec"),
-            lsh_signature(F.col(vec_col), num_planes).alias("sig"),
+            F.posexplode(sigs).alias("tbl", "sig"),
         )
     )
     scored = (
-        c.join(q, "sig")
+        c.join(q, ["tbl", "sig"])
         .filter(F.col("match_id") != F.col("query_id"))
+        .select("query_id", "match_id", "qvec", "cvec")
+        .dropDuplicates(["query_id", "match_id"])
         .select(
             "query_id",
             "match_id",

@@ -1,0 +1,382 @@
+"""Advanced relational coverage: EXISTS/IN subqueries, correlated-subquery
+shapes (rewritten as windows), bilateral multi-joins, sessionization,
+as-of joins, JSON extraction, array functions — the long tail of the
+engine-parity surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from p6_spark.plans.core_relational import dsum
+from p6_spark.plans.registry import register
+from p6_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "q04_order_priority",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= timestamp '1996-07-01 00:00:00'
+  AND o_orderdate <  timestamp '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    doc="TPC-H Q4 shape: EXISTS as a left-semi join with a non-equi "
+    "residual predicate; the semi join shuffles only the key columns.",
+    tags=("join", "semi", "subquery"),
+)
+def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    matched = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return (
+        matched.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q07_nation_volume",
+    oracle="""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       cast(extract(year FROM l_shipdate) AS int) AS yr,
+       cast(round(sum(cast(cast(l_extendedprice * (1 - l_discount) AS varchar) AS decimal(38,12))), 4) AS double) AS volume
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey
+WHERE sn.n_name < cn.n_name
+GROUP BY 1, 2, 3
+ORDER BY supp_nation, cust_nation, yr
+""",
+    doc="TPC-H Q7 shape: bilateral trade — two aliased broadcast joins of "
+    "the same dim (nation) plus a theta filter between them.",
+    tags=("join", "agg", "self-join"),
+)
+def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("yr"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"))
+        .orderBy("supp_nation", "cust_nation", "yr")
+    )
+
+
+@register(
+    "q_revenue_share",
+    oracle="""
+WITH per_nation AS (
+  SELECT n_name,
+         round(sum(cast(cast(o_totalprice AS varchar) AS decimal(38,12))), 4) AS rev
+  FROM orders JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY n_name
+)
+SELECT n_name,
+       cast(rev AS double) AS revenue,
+       (cast(rev * 1000000 AS bigint)) // cast(sum(rev) OVER () AS bigint) AS share_x1e6
+FROM per_nation
+ORDER BY n_name
+""",
+    doc="Correlated 'share of total' shape: aggregate + unpartitioned "
+    "window over the (tiny) aggregate result — the scalable rewrite of a "
+    "scalar subquery. Share emitted integer-scaled.",
+    tags=("window", "agg"),
+)
+def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    per_nation = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("o_totalprice").cast("decimal(38,12)")), 4).alias("rev"))
+    )
+    return per_nation.select(
+        "n_name",
+        F.col("rev").cast("double").alias("revenue"),
+        F.expr(
+            "cast(rev * 1000000 as bigint) div cast(sum(rev) over () as bigint)"
+        ).alias("share_x1e6"),
+    ).orderBy("n_name")
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+SELECT c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       cast(round(sum(cast(cast(l_quantity AS varchar) AS decimal(38,12))), 4) AS double) AS total_qty
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(cast(cast(l_quantity AS varchar) AS decimal(38,12))) > 95
+)
+GROUP BY c_name, o_orderkey, o_orderdate
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 20
+""",
+    doc="TPC-H Q18 shape: IN over a grouped-HAVING subquery = aggregate "
+    "-> semi join; the subquery's partial agg reuses the same shuffle key "
+    "as the outer join (orderkey), so AQE coalesces the exchanges.",
+    tags=("join", "subquery", "agg", "topk"),
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,12)")).alias("q"))
+        .filter(F.col("q") > 95)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate")
+        .agg(dsum(F.col("l_quantity")).alias("total_qty"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_min_price_supplier",
+    oracle="""
+WITH ranked AS (
+  SELECT p_partkey, p_name, s_name, s_acctbal,
+         row_number() OVER (PARTITION BY p_partkey
+                            ORDER BY s_acctbal DESC, s_name) AS rn
+  FROM part JOIN lineitem ON l_partkey = p_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+  WHERE p_size < 5
+)
+SELECT p_partkey, p_name, s_name, s_acctbal
+FROM ranked WHERE rn = 1
+ORDER BY p_partkey
+""",
+    doc="TPC-H Q2 shape: correlated 'best row per group' subquery "
+    "rewritten as a ranking window — one shuffle on the group key instead "
+    "of a per-row subquery.",
+    tags=("window", "join", "subquery-rewrite"),
+)
+def q_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") < 5)
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    w = W.partitionBy("p_partkey").orderBy(F.desc("s_acctbal"), F.asc("s_name"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_partkey", "p_name", "s_name", "s_acctbal")
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "q_sessionize",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR (epoch_us(ts) // 1000000) - (epoch_us(lag(ts) OVER w) // 1000000) > 1800 THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, event_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events,
+         (epoch_us(max(ts)) // 1000000) - (epoch_us(min(ts)) // 1000000) AS duration_s
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT user_id, count(*) AS n_sessions,
+       sum(n_events) AS n_events,
+       max(duration_s)::bigint AS max_session_s
+FROM per_session GROUP BY user_id ORDER BY user_id
+""",
+    doc="Sessionization: lag-gap flag + running sum = session ids, then "
+    "two-level aggregation (the 30-min-gap classic). One shuffle on "
+    "user_id serves all three window/agg steps.",
+    tags=("window", "sessionize"),
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias("duration_s"),
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max("duration_s").cast("long").alias("max_session_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q_asof_prior_view",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_view_id
+  FROM events
+)
+SELECT user_id, event_id AS purchase_id, prior_view_id
+FROM marked
+WHERE event_type = 'purchase'
+ORDER BY user_id, purchase_id
+""",
+    doc="As-of join (each purchase matched to the user's most recent "
+    "prior view) via last_value IGNORE NULLS over an ordered window — "
+    "the co-partitioned rewrite of a range join; Spark lacks a native "
+    "as-of operator (SURVEY: pd.merge_asof would be the applyInPandas "
+    "fallback; this form stays in the JVM).",
+    tags=("window", "asof"),
+)
+def q_asof_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    marked = ev.withColumn(
+        "prior_view_id",
+        F.last(
+            F.when(F.col("event_type") == "view", F.col("event_id")), ignorenulls=True
+        ).over(w),
+    )
+    return (
+        marked.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("event_id").alias("purchase_id"), "prior_view_id")
+        .orderBy("user_id", "purchase_id")
+    )
+
+
+@register(
+    "q_json_extract",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       sum(json_extract(props, '$.k')::bigint) AS sum_k,
+       min(json_extract(props, '$.k')::bigint) AS min_k,
+       max(json_extract(props, '$.k')::bigint) AS max_k
+FROM events
+GROUP BY event_type ORDER BY event_type
+""",
+    doc="Semi-structured JSON column extraction (get_json_object) + "
+    "aggregation — stays in codegen, no UDF.",
+    tags=("json", "agg"),
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_array_funcs",
+    oracle="""
+SELECT label,
+       count(*) AS n,
+       min(len(embedding)) AS min_dim,
+       max(len(embedding)) AS max_dim,
+       sum(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) AS n_pos_first,
+       min((floor(embedding[1]::double * 1000000))::bigint) AS min_first_x1e6
+FROM embeddings
+GROUP BY label ORDER BY label
+""",
+    doc="Array-column surface over embeddings: size, element access, "
+    "conditional counts; floats integer-scaled via floor for exact "
+    "comparison.",
+    tags=("array", "agg"),
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    first = F.element_at("embedding", 1).cast("double")
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.size("embedding")).alias("min_dim"),
+            F.max(F.size("embedding")).alias("max_dim"),
+            F.sum(F.when(first > 0, 1).otherwise(0)).alias("n_pos_first"),
+            F.min(F.floor(first * 1000000).cast("long")).alias("min_first_x1e6"),
+        )
+        .orderBy("label")
+    )
