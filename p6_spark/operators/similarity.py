@@ -91,6 +91,57 @@ def lsh_signature(vec_col: Column, num_planes: int = 8, table: int = 0) -> Colum
     return sig
 
 
+def blocked_neardup_pairs(
+    corpus: DataFrame,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cos: float = 0.3,
+    top_per_block: int = 3,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate candidates: exact cosine over
+    pairs within a blocking key, ranked per block.
+
+    Blocking is the scale move — the self-join shuffles once on
+    `block_col` and the quadratic comparison runs only inside blocks
+    (LSH signatures serve as the blocking key when no natural one
+    exists; see lsh_ann_topk). Output is deterministic: cosine rounded
+    to 6 decimals before ranking, full id tiebreak, integer-scaled."""
+    a = corpus.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+    )
+    b = corpus.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+    )
+    pairs = (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "blk",
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= min_cos)
+    )
+    w = W.partitionBy("blk").orderBy(F.desc("cos"), F.asc("id_a"), F.asc("id_b"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_per_block)
+        .select(
+            F.col("blk").alias("label"),
+            "id_a",
+            "id_b",
+            F.round(F.col("cos") * 1000000, 0).cast("bigint").alias("cos_x1e6"),
+        )
+        .orderBy("label", F.desc("cos_x1e6"), "id_a", "id_b")
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1,0 +1,326 @@
+"""Second tranche of TPC-H-shaped engine-parity queries: returned-items
+top-k (Q10), promo share (Q14), top supplier by revenue (Q15), distinct
+supplier counts (Q16), disjunctive pushdown (Q19), idle customers with a
+scalar-subquery threshold (Q22), exact percentiles, and GROUPING SETS.
+
+Exactness conventions (see plans/registry.py): decimal(38,12) per-row
+casts for double sums; ratios emitted integer-scaled with integer
+division; the Q22 average-threshold comparison is done by cross-
+multiplication (bal * n > total) so no division happens at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from p6_spark.plans.core_relational import dsum
+from p6_spark.plans.registry import register
+from p6_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+SELECT c_custkey, c_name, n_name,
+       cast(round(sum(cast(cast(l_extendedprice * (1 - l_discount) AS varchar) AS decimal(38,12))), 4) AS double) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= timestamp '1996-01-01 00:00:00'
+  AND o_orderdate <  timestamp '1996-07-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    doc="TPC-H Q10 shape: who returned the most revenue — fact-side "
+    "filter pushed to the lineitem scan, two broadcast dims, top-20 with "
+    "total-order tiebreak.",
+    tags=("join", "agg", "topk"),
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_share",
+    oracle="""
+WITH sums AS (
+  SELECT cast(round(sum(CASE WHEN p_type = 'PROMO'
+                   THEN cast(cast(l_extendedprice * (1 - l_discount) AS varchar) AS decimal(38,12))
+                   ELSE cast(0 AS decimal(38,12)) END), 4) * 10000 AS bigint) AS promo_x1e4,
+         cast(round(sum(cast(cast(l_extendedprice * (1 - l_discount) AS varchar) AS decimal(38,12))), 4) * 10000 AS bigint) AS total_x1e4
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT cast(promo_x1e4 AS double) / 10000 AS promo_revenue,
+       cast(total_x1e4 AS double) / 10000 AS total_revenue,
+       (promo_x1e4 * 1000000) // total_x1e4 AS promo_share_x1e6
+FROM sums
+""",
+    doc="TPC-H Q14 shape: conditional-aggregate ratio; both sums are "
+    "exact decimals scaled to bigints so the share is integer division — "
+    "identical on any engine and any partitioning.",
+    tags=("join", "agg", "ratio"),
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,12)")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(38,12)"))
+    sums = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (F.round(F.sum(promo), 4) * 10000).cast("bigint").alias("promo_x1e4"),
+            (F.round(F.sum(rev), 4) * 10000).cast("bigint").alias("total_x1e4"),
+        )
+    )
+    return sums.select(
+        (F.col("promo_x1e4").cast("double") / 10000).alias("promo_revenue"),
+        (F.col("total_x1e4").cast("double") / 10000).alias("total_revenue"),
+        F.expr("promo_x1e4 * 1000000 div total_x1e4").alias("promo_share_x1e6"),
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey,
+         cast(round(sum(cast(cast(l_extendedprice * (1 - l_discount) AS varchar) AS decimal(38,12))), 4) AS double) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= timestamp '1996-01-01 00:00:00'
+    AND l_shipdate <  timestamp '1996-07-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_rev
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM rev)
+ORDER BY s_suppkey
+""",
+    doc="TPC-H Q15 shape: argmax via scalar subquery, rewritten as an "
+    "unpartitioned window max over the (already tiny) per-supplier "
+    "aggregate — no second scan of the fact table.",
+    tags=("agg", "subquery", "window"),
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev")
+    )
+    top = rev.withColumn("mx", F.max("total_rev").over(W.partitionBy())).filter(
+        F.col("total_rev") == F.col("mx")
+    )
+    return (
+        top.join(F.broadcast(sup), top.l_suppkey == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q16_supplier_cnt",
+    oracle="""
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 50
+""",
+    doc="TPC-H Q16 shape (adapted: no partsupp table in the harness "
+    "schema, lineitem supplies the part→supplier edges): distinct "
+    "count per part attribute with dim-side IN/<> pushdown.",
+    tags=("join", "distinct", "agg"),
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(50)
+    )
+
+
+@register(
+    "q19_disjunctive",
+    oracle="""
+SELECT cast(round(sum(cast(cast(l_extendedprice * (1 - l_discount) AS varchar) AS decimal(38,12))), 4) AS double) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 40)
+""",
+    doc="TPC-H Q19 shape: disjunction of conjunctive ranges across both "
+    "join sides — Catalyst extracts the common p_brand/p_size terms into "
+    "a dim-side pushdown while keeping the residual OR as a join filter.",
+    tags=("join", "filter", "pushdown"),
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 10) & q.between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 20) & q.between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 30) & q.between(20, 40))
+    )
+    return j.filter(cond).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "q22_idle_customers",
+    oracle="""
+WITH bal AS (
+  SELECT c_custkey, c_nationkey, cast(round(c_acctbal * 100, 0) AS bigint) AS bal_x100
+  FROM customer
+),
+pos AS (
+  SELECT count(*) AS n, sum(bal_x100) AS total FROM bal WHERE bal_x100 > 0
+)
+SELECT c_nationkey, count(*) AS numcust, sum(bal_x100) AS totacctbal_x100
+FROM bal, pos
+WHERE bal_x100 * pos.n > pos.total
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= timestamp '2000-01-01 00:00:00')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""",
+    doc="TPC-H Q22 shape: customers above the positive-balance average "
+    "with no recent orders — scalar-subquery threshold + anti join "
+    "(every synthetic customer has *some* order, so the anti join is "
+    "date-restricted to stay non-degenerate). The average comparison is "
+    "cross-multiplied (bal*n > total) on cent-scaled bigints: exact "
+    "integer arithmetic, no float division to drift between engines.",
+    tags=("subquery", "anti", "agg"),
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    bal = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("bal_x100"),
+    )
+    pos = bal.filter(F.col("bal_x100") > 0).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("bal_x100").alias("total")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return (
+        bal.crossJoin(F.broadcast(pos))
+        .filter(F.col("bal_x100") * F.col("n") > F.col("total"))
+        .join(recent, bal.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("bal_x100").alias("totacctbal_x100"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "q_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       quantile_disc(l_quantity, 0.5) AS p50_qty,
+       quantile_disc(l_quantity, 0.9) AS p90_qty,
+       quantile_disc(l_extendedprice, 0.5) AS p50_price,
+       quantile_disc(l_extendedprice, 0.99) AS p99_price,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    doc="Exact discrete percentiles per group (percentile_disc: first "
+    "value whose cume_dist >= p — picks an actual data value, so no "
+    "interpolation arithmetic to drift between engines). At 100 TB the "
+    "approx_percentile sketch (q_approx_sketches) is the right tool; "
+    "this is the exact-correctness twin.",
+    tags=("percentile", "agg"),
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_pct")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS p50_qty,
+               percentile_disc(0.9)  WITHIN GROUP (ORDER BY l_quantity) AS p90_qty,
+               percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_extendedprice) AS p50_price,
+               percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice) AS p99_price,
+               count(*) AS n
+        FROM li_pct
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
+
+
+@register(
+    "q_grouping_sets",
+    oracle="""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n,
+       cast(round(sum(cast(cast(l_quantity AS varchar) AS decimal(38,12))), 4) AS double) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY returnflag, linestatus
+""",
+    doc="Explicit GROUPING SETS (beyond rollup/cube): one shuffle "
+    "produces all three granularities via Expand — the map-side expand "
+    "is how Spark keeps this a single pass at scale.",
+    tags=("grouping-sets", "agg"),
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               count(*) AS n,
+               cast(round(sum(cast(l_quantity AS decimal(38,12))), 4) AS double) AS sum_qty
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY returnflag, linestatus
+        """
+    )

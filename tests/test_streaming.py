@@ -53,3 +53,71 @@ def test_stream_dedup_distinct_ids(spark, sf_dir):
     run_to_memory(stream.select("event_id"), "stream_dedup")
     n = spark.sql("select count(distinct event_id) c, count(*) n from stream_dedup").collect()[0]
     assert n["c"] == n["n"] > 0
+
+
+def test_stream_session_window_subset_of_batch(spark, sf_dir):
+    from p6_spark.streaming.events import session_window_stats
+
+    stream = session_window_stats(read_events_stream(spark, sf_dir))
+    run_to_memory(stream, "stream_sessions")
+    got = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"], r["total_value"])
+        for r in spark.sql("select * from stream_sessions").collect()
+    }
+    # batch twin: session_window is usable in plain groupBy too — same
+    # gap-merge semantics, no watermark holdback.
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(38,12)")), 4)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .collect()
+    )
+    want = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"], r["total_value"])
+        for r in batch
+    }
+    assert len(got) > 0
+    assert got.items() <= want.items()
+
+
+def test_stateful_user_totals_match_batch(spark, sf_dir):
+    from p6_spark.streaming.events import stateful_user_totals
+
+    stream = stateful_user_totals(read_events_stream(spark, sf_dir))
+    run_to_memory(stream, "stream_totals", mode="update")
+    # last emitted row per user = final running total
+    rows = spark.sql(
+        "select user_id, n_events, total_value from stream_totals"
+    ).collect()
+    finals = {}
+    for r in rows:  # memory sink appends per-trigger updates in order
+        finals[r["user_id"]] = (r["n_events"], r["total_value"])
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0)).cast("decimal(38,12)")), 4)
+            .cast("double")
+            .alias("total"),
+        )
+        .collect()
+    )
+    want = {r["user_id"]: (r["n"], r["total"]) for r in batch}
+    assert set(finals) == set(want)
+    for uid, (n, total) in finals.items():
+        assert n == want[uid][0]
+        assert abs(total - want[uid][1]) < 1e-6
