@@ -153,9 +153,11 @@ GROUP BY c_name, o_orderkey, o_orderdate
 ORDER BY total_qty DESC, o_orderkey
 LIMIT 20
 """,
-    doc="TPC-H Q18 shape: IN over a grouped-HAVING subquery = aggregate "
-    "-> semi join; the subquery's partial agg reuses the same shuffle key "
-    "as the outer join (orderkey), so AQE coalesces the exchanges.",
+    doc="TPC-H Q18 shape: IN over a grouped-HAVING subquery. The Spark "
+    "plan reuses the per-order aggregate as the join input (each order "
+    "key maps to one customer row, so re-joining raw lineitem would "
+    "recompute the same sum) — one lineitem scan and one shuffle "
+    "instead of two of each.",
     tags=("join", "subquery", "agg", "topk"),
 )
 def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -166,14 +168,11 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(38,12)")).alias("q"))
         .filter(F.col("q") > 95)
-        .select("l_orderkey")
+        .select("l_orderkey", F.round(F.col("q"), 4).cast("double").alias("total_qty"))
     )
     return (
-        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
-        .join(li, orders.o_orderkey == li.l_orderkey)
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("c_name", "o_orderkey", "o_orderdate")
-        .agg(dsum(F.col("l_quantity")).alias("total_qty"))
         .select(
             "c_name",
             "o_orderkey",

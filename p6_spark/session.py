@@ -34,6 +34,11 @@ def get_spark(app_name: str = "p6_spark", cpus: int | None = None) -> SparkSessi
         .config("spark.driver.memory", os.environ.get("P6_SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # local-mode split sizing: harness files are a few MB, and the
+        # 128 MiB default would scan each as ONE task; 4 MiB keeps all
+        # cores busy. On a real cluster revert to the default — there
+        # files are row-group sized and 128 MiB amortizes scheduling.
+        .config("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
