@@ -33,6 +33,23 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+# GPT-2-style pretokenizer, restricted to constructs Java regex and RE2
+# interpret identically (letter runs, digit runs, symbol runs, each with
+# an optional leading space) so the count is engine-portable.
+BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+"
+
+
+def bpe_ish_tokens(col: Column) -> Column:
+    """BPE-pretokenizer-style segmentation — the token-count proxy an
+    LLM data pipeline uses when the real tokenizer is too expensive for
+    a profiling pass. Pure regexp: stays in codegen."""
+    return F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    return F.size(bpe_ish_tokens(col))
+
+
 def md5_int(col: Column) -> Column:
     """First 8 hex digits of md5 as a bigint — the engine-portable hash
     primitive used by minhash/simhash/fingerprints (DuckDB:

@@ -319,6 +319,82 @@ def q_asof_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_range_join_bands",
+    oracle="""
+SELECT lo, hi, count(*) AS n_events,
+       cast(round(sum(cast(cast(value AS varchar) AS decimal(38,12))), 4) AS double) AS total_value
+FROM events
+JOIN (SELECT x * 50 AS lo, x * 50 + 50 AS hi FROM range(10) t(x)) bands
+  ON value >= lo AND value < hi
+GROUP BY lo, hi
+ORDER BY lo
+""",
+    doc="Range (point-in-interval) join via the banded equi-join rewrite "
+    "(operators/rangejoin.py): bucket the value domain, replicate "
+    "intervals per overlapped bucket, equi-join on the bucket, residual "
+    "range filter — O(n) shuffle on an int key instead of the broadcast-"
+    "nested-loop a naive theta join plans.",
+    tags=("join", "range", "rewrite"),
+)
+def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6_spark.operators.rangejoin import banded_range_join
+    from p6_spark.plans.core_relational import dsum as _dsum
+
+    ev = _t(spark, sf_dir, "events")
+    bands = spark.range(10).select(
+        (F.col("id") * 50).cast("double").alias("lo"),
+        (F.col("id") * 50 + 50).cast("double").alias("hi"),
+    )
+    return (
+        banded_range_join(ev, bands, "value", band=50.0)
+        .groupBy("lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value")).alias("total_value"),
+        )
+        .orderBy("lo")
+    )
+
+
+@register(
+    "q_salted_join",
+    oracle="""
+SELECT p_brand, count(*) AS n,
+       cast(round(sum(cast(cast(l_extendedprice AS varchar) AS decimal(38,12))), 4) AS double) AS total_price
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+""",
+    doc="Skew-resistant salted join (operators/skew.py): the left side "
+    "salts on an xxhash64 of the row, the right side replicates per "
+    "salt, and the (key, salt) equi-join spreads any hot key over S "
+    "partitions. Oracle is the plain join — salting must be invisible "
+    "in the result.",
+    tags=("join", "skew", "salting"),
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6_spark.operators.skew import salted_join
+    from p6_spark.plans.core_relational import dsum as _dsum
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_join(
+        li.select(F.col("l_partkey").alias("p_partkey"), "l_extendedprice"),
+        part,
+        on="p_partkey",
+        num_salts=8,
+    )
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum(F.col("l_extendedprice")).alias("total_price"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
     "q_json_extract",
     oracle="""
 SELECT event_type,

@@ -384,6 +384,32 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txt_bpe_tokens",
+    oracle="""
+SELECT doc_id,
+       len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+')) AS n_bpe_tokens,
+       len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_ws_tokens
+FROM documents
+ORDER BY doc_id
+""",
+    doc="BPE-pretokenizer-style token counting (letter/digit/symbol runs "
+    "with optional leading space — the engine-portable subset of the "
+    "GPT-2 pattern) next to whitespace counts. Pure regexp, stays in "
+    "codegen.",
+    tags=("text", "tokens"),
+)
+def txt_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6_spark.operators.text import bpe_ish_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+        F.size(tokens(F.col("text"))).alias("n_ws_tokens"),
+    ).orderBy("doc_id")
+
+
+@register(
     "dd_embedding_neardup",
     oracle="""
 WITH e AS (

@@ -1,0 +1,79 @@
+"""Plan-quality gates: the physical plans must have the shape we'd want
+at 100 TB — filters pushed to the scan, columns pruned, small dims
+broadcast, hot paths in WholeStageCodegen with no Python evaluation.
+These assert on .explain output so a regression that silently degrades
+the plan (not the result) still fails CI."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from p6_spark.plans import QUERIES, get_queries
+from p6_spark.sources.tables import load_table
+
+get_queries()
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = QUERIES["q06_revenue_filter"].build(spark, sf_dir)
+    plan = plan_of(df)
+    assert "PushedFilters: [" in plan
+    # at least one real predicate pushed, not just the empty list
+    assert "IsNotNull" in plan.split("PushedFilters:")[1][:400]
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    plan = plan_of(df)
+    # two-column projection over an 11-column table: the scan schema
+    # must not contain unrelated columns
+    scan_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_returnflag" in scan_schema
+    assert "l_extendedprice" not in scan_schema
+    assert "l_partkey" not in scan_schema
+
+
+def test_small_dims_broadcast(spark, sf_dir):
+    plan = plan_of(QUERIES["q05_region_revenue"].build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_hot_paths_have_no_python_eval(spark, sf_dir):
+    # every oracle-checked headline op must stay JVM-side: pandas UDFs
+    # are reserved for multimodal/enrichment, never the query surface
+    for name in (
+        "q01_pricing_summary",
+        "q18_large_orders",
+        "txt_quality",
+        "txt_bpe_tokens",
+        "dd_minhash_lsh_pairs",
+        "sim_cosine_topk",
+        "dd_embedding_neardup",
+    ):
+        plan = plan_of(QUERIES[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, f"{name} fell off the JVM path"
+
+
+def test_whole_stage_codegen_on_agg(spark, sf_dir):
+    df = QUERIES["q01_pricing_summary"].build(spark, sf_dir)
+    df.collect()  # AQE only shows codegen nodes in the final plan
+    plan = plan_of(df)
+    assert "== Final Plan ==" in plan
+    # scan->filter->project->partial agg fused into one codegen stage
+    assert "[codegen id :" in plan
+
+
+def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    plan = plan_of(QUERIES["q_range_join_bands"].build(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
