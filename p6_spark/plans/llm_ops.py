@@ -440,6 +440,24 @@ def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.blocked_neardup_pairs(emb)
 
 
+@register(
+    "pipe_llm_corpus",
+    oracle=None,  # stage composition; each stage is oracle-checked on its own
+    doc="End-to-end corpus pipeline (pipelines/llm_corpus.py): quality "
+    "gate -> exact dedup -> MinHash-LSH near-dedup -> token/lang/"
+    "fingerprint enrichment. Returns the enriched clean corpus; stage "
+    "counts are asserted in tests/test_llm_corpus.py.",
+    tags=("pipeline", "dedup", "text"),
+)
+def pipe_llm_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6_spark.pipelines.llm_corpus import drop_near_duplicates, enrich, quality_gate
+
+    docs = load_table(spark, sf_dir, "documents")
+    from p6_spark.operators.dedup import dedup_exact
+
+    return enrich(drop_near_duplicates(dedup_exact(quality_gate(docs)))).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Approximate sketches (rows-only: sketch internals differ per engine)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,37 @@
+"""End-to-end corpus pipeline: stage counts monotone, near-dup pairs
+never both survive, output partitioned by predicted language."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from p6_spark.operators import dedup as dd
+from p6_spark.pipelines.llm_corpus import drop_near_duplicates, prepare_corpus
+from p6_spark.sources.tables import load_table
+
+
+def test_prepare_corpus_counts_and_sink(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "corpus")
+    clean, stats = prepare_corpus(docs, out_path=out)
+
+    assert stats.n_raw >= stats.n_after_quality >= stats.n_after_exact >= stats.n_after_near
+    assert stats.n_after_near > 0
+    # enrichment columns present
+    for c in ("n_ws_tokens", "n_bpe_tokens", "lang_pred", "doc_fingerprint"):
+        assert c in clean.columns
+
+    back = spark.read.parquet(out)
+    assert back.count() == stats.n_after_near
+    # hive partitioning by language is real
+    assert [f.name for f in __import__("os").scandir(out) if f.is_dir()], "no partition dirs"
+
+
+def test_near_dedup_never_keeps_both_sides(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    kept = drop_near_duplicates(docs)
+    sigs = dd.minhash_signatures(docs)
+    pairs = dd.lsh_candidate_pairs(sigs).collect()
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    for p in pairs:
+        assert not (p["id_a"] in kept_ids and p["id_b"] in kept_ids)
