@@ -1,0 +1,91 @@
+"""Distributed connected components — exact duplicate clustering.
+
+The greedy near-dedup in pipelines/llm_corpus.py drops the larger id of
+every LSH candidate pair; that can over-drop when pairs chain (a-b,
+b-c: exact clustering keeps one of {a,b,c}, greedy may keep none... it
+keeps a only). Connected components computes the true duplicate
+clusters from the pair graph, so exactly one representative per cluster
+survives.
+
+Algorithm: iterative min-label propagation (the standard Spark shape —
+GraphFrames does the same under the hood):
+
+    label(v) <- min(label(v), min over neighbors u of label(u))
+
+repeated until fixpoint. Each iteration is one shuffle on the node id;
+convergence takes O(graph diameter) rounds — duplicate clusters are
+tiny and dense, so 3-5 rounds in practice. localCheckpoint every round
+truncates the lineage so the plan doesn't grow exponentially (the
+classic iterative-Spark trap).
+
+Not SQL-expressible in one query (recursive), so the registry entry is
+rows-only; correctness is pinned by tests against a driver-side
+union-find on the same edges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in `edges`; the
+    component id is the smallest node id in the component."""
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()  # truncate lineage each round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact cluster-aware dedup: keep the minimum-id document of every
+    connected component of the candidate-pair graph (and every document
+    that appears in no pair)."""
+    cc = connected_components(pairs)
+    losers = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")

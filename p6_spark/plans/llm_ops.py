@@ -441,6 +441,30 @@ def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dd_cc_clusters",
+    oracle=None,  # recursive/iterative: not expressible as one SQL query
+    doc="Exact duplicate clustering: connected components over the "
+    "MinHash-LSH candidate-pair graph via iterative min-label "
+    "propagation (operators/graph.py), one shuffle per round, "
+    "localCheckpoint lineage truncation. Verified against a union-find "
+    "oracle in tests/test_graph.py.",
+    tags=("dedup", "graph", "iterative"),
+)
+def dd_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs)
+    pairs = dd.lsh_candidate_pairs(sigs)
+    cc = connected_components(pairs)
+    return (
+        cc.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .orderBy("component")
+    )
+
+
+@register(
     "pipe_llm_corpus",
     oracle=None,  # stage composition; each stage is oracle-checked on its own
     doc="End-to-end corpus pipeline (pipelines/llm_corpus.py): quality "

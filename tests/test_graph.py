@@ -1,0 +1,66 @@
+"""Connected components vs a driver-side union-find oracle, on both a
+hand-built graph and the real LSH candidate-pair graph."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from p6_spark.operators import dedup as dd
+from p6_spark.operators.graph import connected_components, dedup_clusters
+from p6_spark.sources.tables import load_table
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # fully compress, then map every node to the min id of its set
+    comp = {}
+    for x in list(parent):
+        comp[x] = find(x)
+    return comp
+
+
+def test_cc_chain_and_islands(spark):
+    # chain 1-2-3-4, island {10,11}, singleton edge (20,21)
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    want = _union_find(edges)
+    assert got == want
+    assert got[4] == 1 and got[11] == 10 and got[21] == 20
+
+
+def test_cc_matches_union_find_on_lsh_pairs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs)
+    pairs = dd.lsh_candidate_pairs(sigs)
+    edge_list = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == _union_find(edge_list)
+
+
+def test_dedup_clusters_keeps_one_per_component(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs)
+    pairs = dd.lsh_candidate_pairs(sigs)
+    kept = dedup_clusters(docs, pairs)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    comp = _union_find([(r["id_a"], r["id_b"]) for r in pairs.collect()])
+    # exactly the component representatives survive among clustered docs
+    clustered = set(comp)
+    reps = {v for v in comp.values()}
+    assert kept_ids & clustered == reps
+    # and every unclustered doc survives
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert all_ids - clustered <= kept_ids
