@@ -149,6 +149,42 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def view_purchase_join(events: DataFrame, horizon: str = "1 hour") -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same
+    user's views within the preceding `horizon`. Both sides carry
+    watermarks and the join condition bounds event-time distance, so
+    per-key state is evicted once the watermark passes — the state
+    stays O(users * horizon-rate) no matter how long the stream runs.
+    The streaming twin of the batch as-of pattern (q_asof_prior_view),
+    except it keeps ALL views in the horizon, not just the latest."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    return purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        F.col("p_user").alias("user_id"), "purchase_id", "view_id", "purchase_ts", "view_ts"
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, mode: str = "append") -> StreamingQuery:
     """Drive a bounded stream to completion synchronously (availableNow +
     memory sink) — the local test harness pattern."""

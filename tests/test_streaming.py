@@ -92,6 +92,37 @@ def test_stream_session_window_subset_of_batch(spark, sf_dir):
     assert got.items() <= want.items()
 
 
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    from p6_spark.streaming.events import view_purchase_join
+
+    stream = view_purchase_join(read_events_stream(spark, sf_dir))
+    run_to_memory(stream, "stream_vp")
+    got = {
+        (r["user_id"], r["purchase_id"], r["view_id"])
+        for r in spark.sql("select * from stream_vp").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    want = {
+        (r["p_user"], r["purchase_id"], r["view_id"])
+        for r in p.join(
+            v,
+            (F.col("p_user") == F.col("v_user"))
+            & (F.col("view_ts") <= F.col("purchase_ts"))
+            & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 hour")),
+        ).collect()
+    }
+    assert len(got) > 0
+    # inner stream-stream join emits matches as they arrive; with an
+    # availableNow bounded run everything must match batch exactly
+    assert got == want
+
+
 def test_stateful_user_totals_match_batch(spark, sf_dir):
     from p6_spark.streaming.events import stateful_user_totals
 
