@@ -109,13 +109,16 @@ WITH per_nation AS (
 )
 SELECT n_name,
        cast(rev AS double) AS revenue,
-       (cast(rev * 1000000 AS bigint)) // cast(sum(rev) OVER () AS bigint) AS share_x1e6
+       cast(floor(rev * 1000000)::HUGEINT // floor(sum(rev) OVER ())::HUGEINT AS bigint) AS share_x1e6
 FROM per_nation
 ORDER BY n_name
 """,
     doc="Correlated 'share of total' shape: aggregate + unpartitioned "
     "window over the (tiny) aggregate result — the scalable rewrite of a "
-    "scalar subquery. Share emitted integer-scaled.",
+    "scalar subquery. Share emitted integer-scaled; both operands are "
+    "floor()'d explicitly (Spark's decimal->bigint cast truncates, "
+    "DuckDB's rounds — floor is the portable spelling) and the division "
+    "runs in 128-bit so no scale factor overflows it.",
     tags=("window", "agg"),
 )
 def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -132,7 +135,8 @@ def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         F.col("rev").cast("double").alias("revenue"),
         F.expr(
-            "cast(rev * 1000000 as bigint) div cast(sum(rev) over () as bigint)"
+            "cast(floor(rev * 1000000) as decimal(38,0))"
+            " div cast(floor(sum(rev) over ()) as decimal(38,0))"
         ).alias("share_x1e6"),
     ).orderBy("n_name")
 
@@ -392,6 +396,41 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@register(
+    "q_range_frame",
+    oracle="""
+WITH daily AS (
+  SELECT (epoch_us(o_orderdate) // 86400000000)::bigint AS day_num,
+         round(sum(cast(cast(o_totalprice AS varchar) AS decimal(38,12))), 4) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT day_num,
+       cast(rev AS double) AS day_revenue,
+       cast(round(sum(rev) OVER (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS double) AS rev_7d
+FROM daily ORDER BY day_num
+""",
+    doc="RANGE-framed window (value-distance frame, not row-count): "
+    "7-day rolling revenue over the daily aggregate. The frame skips "
+    "missing days because RANGE bounds compare day numbers — semantics "
+    "ROWS frames can't express. Window input is one row per day, so the "
+    "unpartitioned sort is over ~2.4k rows regardless of fact size.",
+    tags=("window", "range-frame"),
+)
+def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        (F.unix_timestamp("o_orderdate") / F.lit(86400))
+        .cast("bigint")
+        .alias("day_num")
+    ).agg(F.round(F.sum(F.col("o_totalprice").cast("decimal(38,12)")), 4).alias("rev"))
+    w = W.orderBy("day_num").rangeBetween(-6, 0)
+    return daily.select(
+        "day_num",
+        F.col("rev").cast("double").alias("day_revenue"),
+        F.round(F.sum("rev").over(w), 4).cast("double").alias("rev_7d"),
+    ).orderBy("day_num")
 
 
 @register(

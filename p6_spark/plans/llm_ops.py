@@ -441,6 +441,32 @@ def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_features",
+    oracle=None,  # Python codec stage: not SQL-expressible
+    doc="Multimodal feature extraction (operators/multimodal.py): "
+    "document text re-cast as opaque binary payloads, routed through "
+    "the Arrow-batched mapInPandas decode/feature stage (codec stubbed "
+    "deterministically; see P6_SPARK_REAL_DECODE). Exercises the binary-"
+    "column + typed-metadata plumbing on a harness table.",
+    tags=("multimodal", "mapinpandas"),
+)
+def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6_spark.operators.multimodal import extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    return (
+        extract_features(media)
+        .select("media_id", "n_bytes", "digest", F.size("feature").alias("feat_dim"))
+        .orderBy("media_id")
+    )
+
+
+@register(
     "dd_cc_clusters",
     oracle=None,  # recursive/iterative: not expressible as one SQL query
     doc="Exact duplicate clustering: connected components over the "

@@ -75,12 +75,14 @@ WITH sums AS (
 )
 SELECT cast(promo_x1e4 AS double) / 10000 AS promo_revenue,
        cast(total_x1e4 AS double) / 10000 AS total_revenue,
-       (promo_x1e4 * 1000000) // total_x1e4 AS promo_share_x1e6
+       cast((promo_x1e4::HUGEINT * 1000000) // total_x1e4 AS bigint) AS promo_share_x1e6
 FROM sums
 """,
     doc="TPC-H Q14 shape: conditional-aggregate ratio; both sums are "
-    "exact decimals scaled to bigints so the share is integer division — "
-    "identical on any engine and any partitioning.",
+    "exact decimals scaled to integers and the share is integer "
+    "division in 128-bit arithmetic (HUGEINT / decimal(38,0) div) so it "
+    "cannot overflow at any scale factor — bigint*1e6 overflows at "
+    "sf>=0.1.",
     tags=("join", "agg", "ratio"),
 )
 def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -98,7 +100,10 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select(
         (F.col("promo_x1e4").cast("double") / 10000).alias("promo_revenue"),
         (F.col("total_x1e4").cast("double") / 10000).alias("total_revenue"),
-        F.expr("promo_x1e4 * 1000000 div total_x1e4").alias("promo_share_x1e6"),
+        F.expr(
+            "cast(promo_x1e4 as decimal(38,0)) * 1000000"
+            " div cast(total_x1e4 as decimal(38,0))"
+        ).alias("promo_share_x1e6"),
     )
 
 
