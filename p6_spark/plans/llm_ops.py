@@ -441,6 +441,23 @@ def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ivf_ann",
+    oracle=None,  # index structure is engine-specific; recall tested vs brute force
+    doc="IVF ANN top-k (operators/ivf.py): deterministic k-means "
+    "centroids, codegen argmin assignment, n_probe nearest lists per "
+    "query, exact cosine re-rank inside probed lists — touches "
+    "n_probe/k of the corpus per query instead of all of it.",
+    tags=("similarity", "ivf", "iterative"),
+)
+def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6_spark.operators.ivf import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    return ivf_topk(emb, queries, k=5, num_centroids=8, n_probe=2)
+
+
+@register(
     "mm_features",
     oracle=None,  # Python codec stage: not SQL-expressible
     doc="Multimodal feature extraction (operators/multimodal.py): "

@@ -41,6 +41,35 @@ def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
     assert hit / total > 0.2
 
 
+def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
+    from p6_spark.operators.ivf import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    ann = ivf_topk(emb, queries, k=5, num_centroids=8, n_probe=3).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["match_id"])
+    hit = total = 0
+    for r in ann:
+        total += 1
+        if r["match_id"] in exact_sets.get(r["query_id"], set()):
+            hit += 1
+    assert total > 0
+    # probing 3/8 lists must recover a solid share of the true top-5
+    assert hit / total > 0.4
+
+
+def test_ivf_training_is_deterministic(spark, sf_dir):
+    from p6_spark.operators.ivf import train_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    m1 = train_centroids(emb, k=4, iters=2)
+    m2 = train_centroids(emb, k=4, iters=2)
+    assert m1 == m2
+
+
 def test_dedup_exact_keeps_min_id(spark):
     from p6_spark.operators.dedup import dedup_exact
 
