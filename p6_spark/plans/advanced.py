@@ -399,6 +399,53 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_full_outer_nations",
+    oracle="""
+WITH rich_c AS (
+  SELECT c_nationkey AS nk, count(*) AS n_rich_cust
+  FROM customer WHERE c_acctbal > 9000 GROUP BY 1
+),
+rich_s AS (
+  SELECT s_nationkey AS nk, count(*) AS n_rich_supp
+  FROM supplier WHERE s_acctbal > 9000 GROUP BY 1
+)
+SELECT coalesce(rich_c.nk, rich_s.nk) AS nationkey,
+       coalesce(n_rich_cust, 0) AS n_rich_cust,
+       coalesce(n_rich_supp, 0) AS n_rich_supp
+FROM rich_c FULL OUTER JOIN rich_s ON rich_c.nk = rich_s.nk
+ORDER BY nationkey
+""",
+    doc="FULL OUTER join of two sparse aggregates (nations having "
+    "high-balance customers vs suppliers) — selective filters make both "
+    "sides partial so null-padding fires on each. Completes the join-"
+    "type surface (inner/left/semi/anti/cross elsewhere).",
+    tags=("join", "full-outer", "agg"),
+)
+def q_full_outer_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    rich_c = (
+        cust.filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(F.count(F.lit(1)).alias("n_rich_cust"))
+    )
+    rich_s = (
+        sup.filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(F.count(F.lit(1)).alias("n_rich_supp"))
+    )
+    return (
+        rich_c.join(rich_s, rich_c.c_nk == rich_s.s_nk, "full_outer")
+        .select(
+            F.coalesce(F.col("c_nk"), F.col("s_nk")).alias("nationkey"),
+            F.coalesce(F.col("n_rich_cust"), F.lit(0)).alias("n_rich_cust"),
+            F.coalesce(F.col("n_rich_supp"), F.lit(0)).alias("n_rich_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@register(
     "q_range_frame",
     oracle="""
 WITH daily AS (

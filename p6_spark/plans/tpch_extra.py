@@ -329,3 +329,174 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY returnflag, linestatus
         """
     )
+
+
+@register(
+    "q08_market_share",
+    oracle="""
+WITH eu AS (
+  SELECT cast(extract(year FROM o_orderdate) AS int) AS yr,
+         sn.n_name AS supp_nation,
+         cast(round(sum(cast(cast(l_extendedprice * (1 - l_discount) AS varchar)
+                             AS decimal(38,12))), 4) * 10000 AS bigint) AS vol_x1e4
+  FROM lineitem
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation cn ON cn.n_nationkey = c_nationkey
+  JOIN region   ON r_regionkey = cn.n_regionkey
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s_nationkey
+  WHERE r_name = 'EUROPE' AND p_type = 'STANDARD'
+  GROUP BY 1, 2
+)
+SELECT yr,
+       cast(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol_x1e4 ELSE 0 END) AS double) / 10000 AS nation_volume,
+       cast(sum(vol_x1e4) AS double) / 10000 AS total_volume,
+       cast((sum(CASE WHEN supp_nation = 'NATION_3' THEN vol_x1e4 ELSE 0 END)::HUGEINT * 1000000)
+            // sum(vol_x1e4) AS bigint) AS mkt_share_x1e6
+FROM eu
+GROUP BY yr
+ORDER BY yr
+""",
+    doc="TPC-H Q8 shape: national market share — 7-table star join "
+    "(fact + 6 broadcast dims, nation aliased twice) with region/type "
+    "pushdown, then a per-year conditional-ratio. The share is exact: "
+    "decimal sums scaled to bigint and divided in 128-bit integer "
+    "arithmetic, so Spark and the oracle cannot drift.",
+    tags=("join", "agg", "ratio", "star"),
+)
+def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    sup = _t(spark, sf_dir, "supplier")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_rk")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,12)")
+    per = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_rk") == region.r_regionkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("yr"), F.col("supp_nation"))
+        .agg((F.round(F.sum(rev), 4) * 10000).cast("bigint").alias("vol_x1e4"))
+    )
+    nat = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", F.col("vol_x1e4")).otherwise(F.lit(0))
+    )
+    tot = F.sum(F.col("vol_x1e4"))
+    return (
+        per.groupBy("yr")
+        .agg(
+            (nat.cast("double") / 10000).alias("nation_volume"),
+            (tot.cast("double") / 10000).alias("total_volume"),
+            F.expr(
+                "cast(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol_x1e4 ELSE 0 END)"
+                " as decimal(38,0)) * 1000000"
+                " div cast(sum(vol_x1e4) as decimal(38,0))"
+            ).alias("mkt_share_x1e6"),
+        )
+        .orderBy("yr")
+    )
+
+
+@register(
+    "q09_product_profit",
+    oracle="""
+SELECT n_name AS nation, cast(extract(year FROM o_orderdate) AS int) AS yr,
+       cast(round(sum(cast(cast(l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.01 AS varchar)
+                           AS decimal(38,12))), 4) AS double) AS profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+JOIN orders   ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+ORDER BY nation, yr DESC
+""",
+    doc="TPC-H Q9 shape (adapted: the harness schema has no partsupp, so "
+    "supply cost is modeled as 1% of p_retailprice per unit): profit by "
+    "supplier nation and order year with a LIKE filter on the part dim. "
+    "The per-row profit expression has identical shape on both sides so "
+    "IEEE double arithmetic matches bit-for-bit before the decimal sum.",
+    tags=("join", "agg", "like", "star"),
+)
+def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * F.lit(0.01)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("yr"))
+        .agg(dsum(profit).alias("profit"))
+        .orderBy("nation", F.desc("yr"))
+    )
+
+
+@register(
+    "q17_small_quantity",
+    oracle="""
+WITH li AS (
+  SELECT l_partkey, l_extendedprice,
+         cast(round(l_quantity * 100, 0) AS bigint) AS qty_x100
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#4'
+),
+per_part AS (
+  SELECT l_partkey AS pk, count(*) AS n, sum(qty_x100) AS sum_qty_x100
+  FROM li GROUP BY 1
+)
+SELECT cast(round(sum(cast(cast(l_extendedprice AS varchar) AS decimal(38,12))), 4) AS double) AS total_price,
+       count(*) AS n_small
+FROM li JOIN per_part ON l_partkey = pk
+WHERE qty_x100 * 5 * n < sum_qty_x100
+""",
+    doc="TPC-H Q17 shape: lineitems below 20% of their part's average "
+    "quantity — the correlated scalar subquery becomes a per-part "
+    "aggregate broadcast-joined back to the (brand-filtered) fact rows. "
+    "The avg comparison is cross-multiplied on cent-scaled bigints "
+    "(qty*5n < sum ⟺ qty < 0.2·avg), so no division exists to drift.",
+    tags=("subquery", "join", "agg"),
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "l_partkey",
+            "l_extendedprice",
+            F.round(F.col("l_quantity") * 100, 0).cast("bigint").alias("qty_x100"),
+        )
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("qty_x100").alias("sum_qty_x100")
+    )
+    return (
+        li.join(F.broadcast(per_part), li.l_partkey == per_part.pk)
+        .filter(F.col("qty_x100") * 5 * F.col("n") < F.col("sum_qty_x100"))
+        .agg(
+            dsum(F.col("l_extendedprice")).alias("total_price"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
