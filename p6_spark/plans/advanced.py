@@ -541,3 +541,41 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "q_sliding_events",
+    oracle="""
+SELECT strftime(time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes',
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n,
+       cast(round(sum(cast(cast(value AS varchar) AS decimal(38,12))), 4) AS double) AS total_value
+FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) offsets
+WHERE ts < timestamp '2024-01-03 00:00:00'
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+""",
+    doc="Sliding (hopping) window aggregation via the real F.window "
+    "operator (1 h length, 30 min hop): each event lands in exactly two "
+    "overlapping windows — Spark's TimeWindow expression expands rows "
+    "map-side, so the shuffle carries (window,type) keys, not raw events "
+    "twice. Oracle replays the expansion with an unnest([0,1]) offset "
+    "cross join. Batch twin of streaming.sliding_user_activity.",
+    tags=("window", "streaming-parity"),
+)
+def q_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp")
+    )
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )

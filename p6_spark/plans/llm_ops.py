@@ -548,3 +548,49 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_percentiles"
         ),
     )
+
+
+@register(
+    "dd_hash_split",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, n_chars,
+         ((doc_id * 2654435761) % 4294967296) % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'validation'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       sum(n_chars) AS total_chars,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM b
+GROUP BY 1
+ORDER BY split
+""",
+    doc="Deterministic train/validation/test split for a training corpus: "
+    "a Knuth multiplicative hash of the document key taken mod 100 buckets "
+    "(90/5/5). Pure bigint arithmetic — identical on any engine and any "
+    "cluster size, needs no shuffle until the final tiny aggregate, and "
+    "assigns every future re-run of the same corpus to the same split "
+    "(unlike sample(), whose output depends on partitioning).",
+    tags=("split", "pipeline", "dedup-adjacent"),
+)
+def dd_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(100)
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "validation").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars", "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("split")
+    )
