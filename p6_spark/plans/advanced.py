@@ -579,3 +579,139 @@ def q_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+@register(
+    "q_map_funcs",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       max(len(json_keys(props))) AS max_nkeys,
+       max(array_to_string(json_keys(props), ',')) AS key_sig,
+       min(json_extract(props, '$.k')::bigint) AS min_k,
+       sum(json_extract(props, '$.k')::bigint) AS sum_vals
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    doc="MapType column surface: props parsed once into map<string,bigint> "
+    "(from_json), then cardinality, map_keys signature, element_at lookup, "
+    "and a higher-order F.aggregate over map_values — all JVM-side Column "
+    "expressions; the oracle reads the same facts through DuckDB's JSON "
+    "functions. Complements q_json_extract (string-path extraction).",
+    tags=("map", "json", "higher-order"),
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "m", F.from_json("props", "map<string,bigint>")
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.size("m")).alias("max_nkeys"),
+            F.max(F.array_join(F.map_keys("m"), ",")).alias("key_sig"),
+            F.min(F.element_at("m", F.lit("k"))).alias("min_k"),
+            F.sum(
+                F.aggregate(
+                    F.map_values("m"),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, v: acc + v,
+                )
+            ).alias("sum_vals"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_higher_order_arrays",
+    oracle="""
+WITH scaled AS (
+  SELECT label,
+         list_transform(embedding, x -> (floor(x::double * 1000))::bigint) AS t,
+         len(list_filter(embedding, x -> x < 0)) AS n_neg
+  FROM embeddings
+)
+SELECT label,
+       count(*) AS n,
+       min(cast(list_sum(list_transform(t, v -> v * v)) AS bigint)) AS min_norm2,
+       max(cast(list_sum(list_transform(t, v -> v * v)) AS bigint)) AS max_norm2,
+       sum(n_neg) AS total_neg
+FROM scaled
+GROUP BY label
+ORDER BY label
+""",
+    doc="Higher-order array functions on the embedding column, all "
+    "JVM-side: transform (scale floats to exact bigints), zip_with + "
+    "aggregate (self dot product = squared L2 norm in pure integer "
+    "arithmetic, so partition order cannot drift), filter + size "
+    "(negative-component count). This is the declarative path the "
+    "similarity operators build on — no Python UDF anywhere.",
+    tags=("array", "higher-order", "agg"),
+)
+def q_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    t = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("bigint")
+    )
+    norm2 = F.aggregate(
+        F.zip_with(t, t, lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    n_neg = F.size(F.filter("embedding", lambda x: x < 0))
+    return (
+        emb.select("label", norm2.alias("norm2"), n_neg.alias("n_neg"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("norm2").alias("min_norm2"),
+            F.max("norm2").alias("max_norm2"),
+            F.sum("n_neg").alias("total_neg"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "q_math_funcs",
+    oracle="""
+SELECT l_returnflag,
+       count(*) AS n,
+       bit_xor(l_orderkey) AS xor_keys,
+       bit_and(l_orderkey) AS and_keys,
+       bit_or(l_orderkey) AS or_keys,
+       sum(l_orderkey % 7) AS sum_mod7,
+       sum(greatest(l_partkey, l_suppkey)) AS sum_greatest,
+       sum(least(l_partkey, l_suppkey)) AS sum_least,
+       sum(l_linenumber << 2) AS sum_shl,
+       sum(abs(l_quantity - 25)::bigint) AS sum_absdev
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    doc="Math/bitwise scalar surface in exact integer arithmetic: bitwise "
+    "aggregates (xor/and/or — xor doubles as an order-independent content "
+    "checksum for 100 TB reconciliation), modulo, greatest/least, shift, "
+    "integer absolute deviation. Every value is exact, so no float "
+    "tolerance is needed anywhere.",
+    tags=("math", "bitwise", "agg"),
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(l_orderkey)").alias("xor_keys"),
+            F.expr("bit_and(l_orderkey)").alias("and_keys"),
+            F.expr("bit_or(l_orderkey)").alias("or_keys"),
+            F.sum(F.col("l_orderkey") % 7).alias("sum_mod7"),
+            F.sum(F.greatest("l_partkey", "l_suppkey")).alias("sum_greatest"),
+            F.sum(F.least("l_partkey", "l_suppkey")).alias("sum_least"),
+            F.sum(F.shiftleft(F.col("l_linenumber"), 2)).alias("sum_shl"),
+            F.sum(F.abs(F.col("l_quantity") - 25).cast("bigint")).alias("sum_absdev"),
+        )
+        .orderBy("l_returnflag")
+    )
