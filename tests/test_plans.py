@@ -77,3 +77,35 @@ def test_whole_stage_codegen_on_agg(spark, sf_dir):
 def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
     plan = plan_of(QUERIES["q_range_join_bands"].build(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q08_star_join_broadcasts_all_dims(spark, sf_dir):
+    # 7-table star: every dim side must hash-broadcast; the only
+    # sort-merge/shuffle joins allowed are fact-fact (lineitem-orders)
+    plan = plan_of(QUERIES["q08_market_share"].build(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_q17_correlated_avg_stays_broadcast(spark, sf_dir):
+    # the per-part aggregate (small: one row per brand-filtered part)
+    # must broadcast back to the fact rows, not shuffle them
+    plan = plan_of(QUERIES["q17_small_quantity"].build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_sliding_window_no_python_and_single_shuffle(spark, sf_dir):
+    # TimeWindow expansion happens map-side (Expand/Project before the
+    # exchange); only the (window,type) group-by shuffles
+    df = QUERIES["q_sliding_events"].build(spark, sf_dir)
+    plan = plan_of(df)
+    assert "EvalPython" not in plan
+
+
+def test_higher_order_and_map_funcs_stay_jvm_side(spark, sf_dir):
+    for name in ("q_higher_order_arrays", "q_map_funcs", "q_math_funcs",
+                 "dd_hash_split"):
+        plan = plan_of(QUERIES[name].build(spark, sf_dir))
+        assert "EvalPython" not in plan, f"{name} fell off the JVM path"
