@@ -594,3 +594,105 @@ def dd_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@register(
+    "txt_vocab",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+),
+per_doc AS (
+  SELECT token, doc_id, count(*) AS c FROM tok GROUP BY 1, 2
+)
+SELECT token,
+       count(*) AS doc_freq,
+       sum(c) AS coll_freq
+FROM per_doc
+GROUP BY token
+ORDER BY doc_freq DESC, coll_freq DESC, token
+LIMIT 30
+""",
+    doc="Vocabulary building / inverted-index statistics: per-token "
+    "document frequency and collection frequency, top-30 with a total "
+    "order. Two-phase aggregation — (token, doc) partial counts shuffle "
+    "once, then the per-token rollup reuses the same hash partitioning. "
+    "Exact integers (IDF weighting would be log over these counts; "
+    "emitting the counts keeps the result engine-portable).",
+    tags=("text", "vocab", "agg"),
+)
+def txt_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    from p6_spark.operators.text import tokens as _tokens
+
+    tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
+    per_doc = tok.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_doc.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"), F.sum("c").alias("coll_freq"))
+        .orderBy(F.desc("doc_freq"), F.desc("coll_freq"), F.asc("token"))
+        .limit(30)
+    )
+
+
+@register(
+    "txt_repetition",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(t) AS n_tok,
+         len(list_distinct(t)) AS n_distinct,
+         list_max([len(list_filter(t, x -> x = d)) for d in list_distinct(t)]) AS top_cnt,
+         [t[i] || ' ' || t[i+1] for i in range(1, len(t))] AS bi
+  FROM base
+)
+SELECT doc_id, n_tok AS n_tokens,
+       (n_distinct * 1000000) // greatest(n_tok, 1) AS distinct_ratio_x1e6,
+       (top_cnt * 1000000) // greatest(n_tok, 1) AS top_token_ratio_x1e6,
+       ((len(bi) - len(list_distinct(bi))) * 1000000) // greatest(len(bi), 1) AS dup_bigram_ratio_x1e6
+FROM m
+ORDER BY doc_id
+""",
+    doc="Repetition-based quality signals (the Gopher/C4 filter family): "
+    "distinct-token ratio, most-frequent-token fraction, duplicate-bigram "
+    "fraction — all per-document array computations (transform/filter/"
+    "zip_with on the token array), so the pass is embarrassingly parallel "
+    "with zero shuffle; ratios integer-scaled. Per-doc work is O(d·n) in "
+    "distinct tokens d — bounded because documents are bounded, and no "
+    "state leaves the row.",
+    tags=("text", "quality", "higher-order"),
+)
+def txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    from p6_spark.operators.text import tokens as _tokens
+
+    t = _tokens(F.col("text"))
+    base = docs.select("doc_id", t.alias("t"))
+    n_tok = F.size("t")
+    distinct = F.array_distinct("t")
+    top_cnt = F.array_max(
+        F.transform(distinct, lambda d: F.size(F.filter("t", lambda x: x == d)))
+    )
+    bi = F.zip_with(
+        F.slice("t", 1, F.greatest(n_tok - 1, F.lit(0))),
+        F.slice("t", 2, F.greatest(n_tok - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    m = base.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        F.size(distinct).alias("n_distinct"),
+        top_cnt.alias("top_cnt"),
+        bi.alias("bi"),
+    )
+    return m.selectExpr(
+        "doc_id",
+        "cast(n_tok as bigint) AS n_tokens",
+        "(n_distinct * 1000000) div greatest(n_tok, 1) AS distinct_ratio_x1e6",
+        "(top_cnt * 1000000) div greatest(n_tok, 1) AS top_token_ratio_x1e6",
+        "((size(bi) - size(array_distinct(bi))) * 1000000) div greatest(size(bi), 1)"
+        " AS dup_bigram_ratio_x1e6",
+    ).orderBy("doc_id")
