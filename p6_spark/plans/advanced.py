@@ -715,3 +715,84 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q_merge_upsert",
+    oracle="""
+WITH tgt AS (
+  SELECT c_custkey, c_nationkey,
+         cast(round(c_acctbal * 100, 0) AS bigint) AS bal_x100
+  FROM customer WHERE c_custkey % 10 <> 0
+),
+src AS (
+  SELECT o_custkey AS k, count(*) AS n_orders,
+         cast(round(sum(cast(cast(o_totalprice AS varchar) AS decimal(38,12))), 4) * 100 AS bigint) AS total_x100
+  FROM orders
+  WHERE o_orderdate >= timestamp '2001-01-01 00:00:00'
+  GROUP BY 1
+),
+merged AS (
+  SELECT coalesce(tgt.c_custkey, src.k) AS c_custkey,
+         tgt.c_nationkey AS c_nationkey,
+         CASE WHEN tgt.c_custkey IS NOT NULL AND src.k IS NOT NULL THEN tgt.bal_x100 + src.total_x100
+              WHEN tgt.c_custkey IS NULL THEN src.total_x100
+              ELSE tgt.bal_x100 END AS bal_x100,
+         CASE WHEN tgt.c_custkey IS NOT NULL AND src.k IS NOT NULL THEN 'updated'
+              WHEN tgt.c_custkey IS NULL THEN 'inserted'
+              ELSE 'kept' END AS merge_status
+  FROM tgt FULL OUTER JOIN src ON tgt.c_custkey = src.k
+)
+SELECT merge_status, count(*) AS n,
+       sum(bal_x100) AS total_bal_x100,
+       min(c_custkey) AS min_key, max(c_custkey) AS max_key
+FROM merged
+GROUP BY merge_status
+ORDER BY merge_status
+""",
+    doc="MERGE INTO / upsert semantics (operators/merge.py): a CDC-style "
+    "source (recent per-customer order totals) merged into a customer "
+    "snapshot — matched rows update the balance, unseen keys insert, the "
+    "rest pass through. One full-outer join + per-column conditionals; "
+    "every amount cent-scaled bigint so the merge arithmetic is exact. "
+    "Summarized per merge_status for a compact stable result.",
+    tags=("merge", "upsert", "join", "cdc"),
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6_spark.operators.merge import merge_upsert
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    tgt = cust.filter(F.col("c_custkey") % 10 != 0).select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("bal_x100"),
+    )
+    src = (
+        orders.filter(F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp"))
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.round(F.sum(F.col("o_totalprice").cast("decimal(38,12)")), 4) * 100)
+            .cast("bigint")
+            .alias("total_x100"),
+        )
+    )
+    merged = merge_upsert(
+        tgt,
+        src,
+        key="c_custkey",
+        updates={"bal_x100": F.col("t.bal_x100") + F.col("s.total_x100")},
+        inserts={"bal_x100": F.col("s.total_x100")},
+        status_col="merge_status",
+    )
+    return (
+        merged.groupBy("merge_status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("bal_x100").alias("total_bal_x100"),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+        )
+        .orderBy("merge_status")
+    )
