@@ -796,3 +796,121 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("merge_status")
     )
+
+
+@register(
+    "q_window_suite",
+    oracle="""
+WITH o AS (
+  SELECT o_orderpriority AS prio,
+         cast(round(o_totalprice * 100, 0) AS bigint) AS cents,
+         o_orderkey
+  FROM orders
+),
+wf AS (
+  SELECT prio, cents,
+         ntile(4)      OVER w AS quartile,
+         rank()        OVER w AS rnk,
+         dense_rank()  OVER w AS drnk,
+         coalesce(cents - lag(cents)  OVER w, 0) AS lag_diff,
+         coalesce(lead(cents) OVER w - cents, 0) AS lead_diff,
+         first_value(cents) OVER w AS min_cents_in_prio,
+         (floor(cume_dist() OVER w * 1000000))::bigint AS cume_x1e6
+  FROM o
+  WINDOW w AS (PARTITION BY prio ORDER BY cents, o_orderkey)
+)
+SELECT prio, quartile,
+       count(*) AS n,
+       sum(cents) AS sum_cents,
+       sum(lag_diff) AS sum_lag_diff,
+       sum(lead_diff) AS sum_lead_diff,
+       max(rnk) AS max_rank,
+       max(drnk) AS max_dense_rank,
+       max(min_cents_in_prio) AS first_cents,
+       max(cume_x1e6) AS max_cume_x1e6
+FROM wf
+GROUP BY prio, quartile
+ORDER BY prio, quartile
+""",
+    doc="The full ranking/navigation window-function family over one "
+    "window definition — ntile, rank, dense_rank, lag, lead, first_value, "
+    "cume_dist — summarized per (priority, quartile). Amounts are "
+    "cent-scaled bigints; cume_dist is floor-scaled from an identical "
+    "exact division on both engines. One sort per partition serves all "
+    "eight functions (single Window physical node).",
+    tags=("window", "rank", "agg"),
+)
+def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    orders = _t(spark, sf_dir, "orders")
+    o = orders.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        "o_orderkey",
+    )
+    w = W.partitionBy("prio").orderBy("cents", "o_orderkey")
+    wf = o.select(
+        "prio",
+        "cents",
+        F.ntile(4).over(w).alias("quartile"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.coalesce(F.col("cents") - F.lag("cents").over(w), F.lit(0)).alias("lag_diff"),
+        F.coalesce(F.lead("cents").over(w) - F.col("cents"), F.lit(0)).alias("lead_diff"),
+        F.first("cents").over(w).alias("min_cents_in_prio"),
+        F.floor(F.cume_dist().over(w) * 1000000).cast("bigint").alias("cume_x1e6"),
+    )
+    return (
+        wf.groupBy("prio", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+            F.sum("lag_diff").alias("sum_lag_diff"),
+            F.sum("lead_diff").alias("sum_lead_diff"),
+            F.max("rnk").alias("max_rank"),
+            F.max("drnk").alias("max_dense_rank"),
+            F.max("min_cents_in_prio").alias("first_cents"),
+            F.max("cume_x1e6").alias("max_cume_x1e6"),
+        )
+        .orderBy("prio", "quartile")
+    )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+WITH long AS (
+  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_tax', l_tax FROM lineitem
+)
+SELECT l_returnflag, measure, count(*) AS n,
+       cast(round(sum(cast(cast(val AS varchar) AS decimal(38,12))), 4) AS double) AS total
+FROM long
+GROUP BY l_returnflag, measure
+ORDER BY l_returnflag, measure
+""",
+    doc="Wide-to-long reshaping via the native unpivot operator (Expand "
+    "node: rows multiply map-side, no shuffle until the aggregate) — the "
+    "inverse of q_pivot_status. Oracle spells it as UNION ALL, the "
+    "portable equivalent.",
+    tags=("unpivot", "reshape", "agg"),
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return (
+        long.groupBy("l_returnflag", "measure")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("val")).alias("total"))
+        .orderBy("l_returnflag", "measure")
+    )
