@@ -25,17 +25,24 @@ HEADLINE = [
     "q03_shipping_priority",
     "q05_region_revenue",
     "q07_nation_volume",
+    "q08_market_share",
     "q13_orders_per_customer",
+    "q17_small_quantity",
     "q18_large_orders",
     "q_topk_orders_per_segment",
     "q_rollup_orders",
     "q_distinct_counts",
     "q_conditional_agg",
+    "q_window_suite",
+    "q_merge_upsert",
     "q_tumbling_events",
+    "q_sliding_events",
     "q_sessionize",
     "dd_exact_stats",
     "dd_minhash_lsh_pairs",
+    "dd_hash_split",
     "txt_quality",
+    "txt_repetition",
     "sim_cosine_topk",
 ]
 

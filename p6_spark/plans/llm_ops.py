@@ -673,8 +673,24 @@ def txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select("doc_id", t.alias("t"))
     n_tok = F.size("t")
     distinct = F.array_distinct("t")
-    top_cnt = F.array_max(
-        F.transform(distinct, lambda d: F.size(F.filter("t", lambda x: x == d)))
+    # max token multiplicity = longest equal-run in the sorted array:
+    # O(n log n) per doc vs the O(d*n) filter-per-distinct-token form
+    top_cnt = F.aggregate(
+        F.array_sort("t"),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     bi = F.zip_with(
         F.slice("t", 1, F.greatest(n_tok - 1, F.lit(0))),
