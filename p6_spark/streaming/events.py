@@ -197,3 +197,61 @@ def run_to_memory(df: DataFrame, name: str, mode: str = "append") -> StreamingQu
     )
     q.awaitTermination()
     return q
+
+
+def merge_totals_sink(events: DataFrame, target_path: str, checkpoint: str) -> StreamingQuery:
+    """Streaming MERGE (upsert) sink: each micro-batch's per-user totals
+    are merged into a parquet snapshot via operators/merge.merge_upsert —
+    matched users accumulate, unseen users insert. This is the standard
+    CDC/foreachBatch pattern; amounts are cent-scaled bigints so the
+    accumulation is exact across any number of micro-batches.
+
+    The snapshot swap (write tmp, replace dir) stands in for what a
+    transactional table format (Delta/Iceberg MERGE INTO) does with
+    metadata pointers — the relational semantics are identical, and on a
+    cluster only the sink bottom swaps out. Runs synchronously to
+    completion (availableNow)."""
+    import os
+    import shutil
+
+    from p6_spark.operators.merge import merge_upsert
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        src = batch.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.coalesce(
+                F.sum(F.round(F.col("value") * 100, 0).cast("bigint")), F.lit(0)
+            ).alias("total_x100"),
+        )
+        if os.path.isdir(target_path):
+            tgt = spark.read.parquet(target_path)
+            merged = merge_upsert(
+                tgt,
+                src,
+                key="user_id",
+                updates={
+                    "n_events": F.col("t.n_events") + F.col("s.n_events"),
+                    "total_x100": F.col("t.total_x100") + F.col("s.total_x100"),
+                },
+                inserts={
+                    "n_events": F.col("s.n_events"),
+                    "total_x100": F.col("s.total_x100"),
+                },
+            )
+        else:
+            merged = src
+        tmp = f"{target_path}.tmp-{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(target_path):
+            shutil.rmtree(target_path)
+        os.replace(tmp, target_path)
+
+    q = (
+        events.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

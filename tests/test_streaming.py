@@ -152,3 +152,33 @@ def test_stateful_user_totals_match_batch(spark, sf_dir):
     for uid, (n, total) in finals.items():
         assert n == want[uid][0]
         assert abs(total - want[uid][1]) < 1e-6
+
+
+def test_streaming_merge_sink_matches_batch(spark, sf_dir, tmp_path):
+    from p6_spark.sources.tables import load_table
+    from p6_spark.streaming.events import merge_totals_sink, read_events_stream
+
+    target = str(tmp_path / "user_totals")
+    merge_totals_sink(
+        read_events_stream(spark, sf_dir), target, str(tmp_path / "ckpt_merge")
+    )
+    got = (
+        spark.read.parquet(target)
+        .orderBy("user_id")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.coalesce(
+                F.sum(F.round(F.col("value") * 100, 0).cast("bigint")), F.lit(0)
+            ).alias("total_x100"),
+        )
+        .orderBy("user_id")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
