@@ -914,3 +914,52 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("val")).alias("total"))
         .orderBy("l_returnflag", "measure")
     )
+
+
+@register(
+    "q_stats_moments",
+    oracle="""
+WITH x AS (
+  SELECT l_returnflag,
+         cast(round(l_extendedprice, 0) AS bigint) AS price_usd,
+         cast(round(l_quantity, 0) AS bigint) AS qty
+  FROM lineitem
+)
+SELECT l_returnflag,
+       count(*) AS n,
+       sum(price_usd) AS sum_x,
+       sum(qty) AS sum_y,
+       sum(price_usd * price_usd) AS sum_x2,
+       sum(qty * qty) AS sum_y2,
+       sum(price_usd * qty) AS sum_xy
+FROM x
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    doc="Distributed statistics via exact sufficient moments: one pass "
+    "collects n, Σx, Σy, Σx², Σy², Σxy per group as pure bigint sums — "
+    "the merge-anywhere form of variance/covariance/correlation (Spark's "
+    "built-in var_samp/corr use the same partial-merge idea with "
+    "floats; emitting integer moments keeps the oracle comparison "
+    "exact, and any final statistic derives from them in one driver-side "
+    "division). tests/test_stats.py proves the derived correlation "
+    "matches F.corr to 1e-9.",
+    tags=("stats", "agg", "moments"),
+)
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_extendedprice"), 0).cast("bigint")
+    y = F.round(F.col("l_quantity"), 0).cast("bigint")
+    d = li.select("l_returnflag", x.alias("price_usd"), y.alias("qty"))
+    return (
+        d.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("price_usd").alias("sum_x"),
+            F.sum("qty").alias("sum_y"),
+            F.sum(F.col("price_usd") * F.col("price_usd")).alias("sum_x2"),
+            F.sum(F.col("qty") * F.col("qty")).alias("sum_y2"),
+            F.sum(F.col("price_usd") * F.col("qty")).alias("sum_xy"),
+        )
+        .orderBy("l_returnflag")
+    )
