@@ -963,3 +963,50 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q_null_semantics",
+    oracle="""
+WITH x AS (
+  SELECT l_linestatus,
+         nullif(cast(round(l_discount * 100, 0) AS bigint), 0) AS disc_pct,
+         nullif(cast(round(l_tax * 100, 0) AS bigint), 0) AS tax_pct
+  FROM lineitem
+)
+SELECT l_linestatus,
+       count(*) AS n_rows,
+       count(disc_pct) AS n_discounted,
+       count(DISTINCT disc_pct) AS n_distinct_disc,
+       sum(CASE WHEN disc_pct IS NOT DISTINCT FROM tax_pct THEN 1 ELSE 0 END) AS n_nullsafe_eq,
+       sum(coalesce(disc_pct, 0)) AS sum_disc_pct
+FROM x
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+""",
+    doc="SQL null semantics, pinned: count(*) vs count(col) (null-"
+    "excluding), DISTINCT over a nullable column, null-safe equality "
+    "(<=> / IS NOT DISTINCT FROM), and coalesce-defaulting — the "
+    "three-valued-logic corners every engine must agree on. Percentage "
+    "points integer-scaled; nullif manufactures the nulls the synthetic "
+    "data lacks.",
+    tags=("null", "semantics", "agg"),
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.nullif(F.round(F.col("l_discount") * 100, 0).cast("bigint"), F.lit(0))
+    tax = F.nullif(F.round(F.col("l_tax") * 100, 0).cast("bigint"), F.lit(0))
+    x = li.select("l_linestatus", disc.alias("disc_pct"), tax.alias("tax_pct"))
+    return (
+        x.groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("disc_pct").alias("n_discounted"),
+            F.countDistinct("disc_pct").alias("n_distinct_disc"),
+            F.sum(
+                F.when(F.col("disc_pct").eqNullSafe(F.col("tax_pct")), 1).otherwise(0)
+            ).alias("n_nullsafe_eq"),
+            F.sum(F.coalesce(F.col("disc_pct"), F.lit(0))).alias("sum_disc_pct"),
+        )
+        .orderBy("l_linestatus")
+    )
