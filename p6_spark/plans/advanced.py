@@ -1010,3 +1010,52 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linestatus")
     )
+
+
+@register(
+    "q_histogram",
+    oracle="""
+WITH b AS (
+  SELECT least(greatest((cast(round(o_totalprice * 100, 0) AS bigint) * 20)
+                        // 20000000, 0), 19) AS bucket
+  FROM orders
+)
+SELECT bucket,
+       cast(bucket * 10000 AS double) AS lo_usd,
+       count(*) AS n
+FROM b
+GROUP BY bucket
+ORDER BY bucket
+""",
+    doc="Fixed-width histogram / binning (the width_bucket pattern "
+    "spelled as integer arithmetic so both engines bin identically — "
+    "float width_bucket boundaries are exactly the kind of edge that "
+    "drifts): 20 equal bins over [0, 200k) order value, clamped tails. "
+    "Binning is a pure map-side projection — the shuffle carries 20 "
+    "keys, so a 100 TB histogram costs one scan plus nothing.",
+    tags=("histogram", "binning", "agg"),
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    # bucket = clamp(cents * 20 div 20_000_000, 0, 19) — pure bigint binning
+    b = orders.select(
+        F.least(
+            F.greatest(
+                F.expr(
+                    "cast(round(o_totalprice * 100, 0) as bigint) * 20 div 20000000"
+                ),
+                F.lit(0),
+            ),
+            F.lit(19),
+        ).alias("bucket")
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            (F.col("bucket") * 10000).cast("double").alias("lo_usd"),
+            "n",
+        )
+        .orderBy("bucket")
+    )
