@@ -109,3 +109,12 @@ def test_higher_order_and_map_funcs_stay_jvm_side(spark, sf_dir):
                  "dd_hash_split"):
         plan = plan_of(QUERIES[name].build(spark, sf_dir))
         assert "EvalPython" not in plan, f"{name} fell off the JVM path"
+
+
+def test_topk_window_group_limit_prunes_before_shuffle(spark, sf_dir):
+    # rank<=k filters push into WindowGroupLimit (partial before the
+    # exchange + final after): each map task keeps only its own top-k,
+    # so the shuffle carries k rows per partition, not the whole table —
+    # the property that makes per-group top-k viable at 100 TB
+    plan = plan_of(QUERIES["q_topk_orders_per_segment"].build(spark, sf_dir))
+    assert plan.count("WindowGroupLimit") >= 2
