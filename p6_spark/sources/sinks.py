@@ -54,3 +54,22 @@ def write_bucketed(
 def bucketed_join_ready(spark: SparkSession, left: str, right: str):
     """Convenience: read two bucketed tables for a co-located join."""
     return spark.table(left), spark.table(right)
+
+
+def compact(
+    df: DataFrame,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    mode: str = "overwrite",
+) -> int:
+    """Small-file compaction: rewrite a dataset into ~target-sized parquet
+    files. Streaming sinks and per-partition writers accumulate thousands
+    of tiny files whose per-file open/footer cost dominates reads at
+    scale; compaction is routine table maintenance. File count is sized
+    from the JVM-estimated in-memory bytes (an upper bound on parquet
+    size, so files come out at-or-under target); returns the file count.
+    Uses coalesce (no shuffle) — use repartition first if skewed."""
+    est_bytes = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    n_files = max(1, int(min(est_bytes, 1 << 50) // target_file_bytes))
+    df.coalesce(n_files).write.mode(mode).parquet(path)
+    return n_files
