@@ -712,3 +712,42 @@ def txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "((size(bi) - size(array_distinct(bi))) * 1000000) div greatest(size(bi), 1)"
         " AS dup_bigram_ratio_x1e6",
     ).orderBy("doc_id")
+
+
+@register(
+    "dd_stratified_sample",
+    oracle="""
+WITH b AS (
+  SELECT lang, n_chars,
+         ((doc_id * 2654435761) % 4294967296) % 100 AS bucket
+  FROM documents
+),
+kept AS (
+  SELECT lang, n_chars FROM b
+  WHERE bucket < CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 80 ELSE 100 END
+)
+SELECT lang, count(*) AS n_kept, sum(n_chars) AS kept_chars
+FROM kept
+GROUP BY lang
+ORDER BY lang
+""",
+    doc="Stratified deterministic downsampling — corpus rebalancing "
+    "(keep 50% of over-represented English, 80% of zh, all of the rest) "
+    "using the same multiplicative-hash buckets as dd_hash_split, so "
+    "the kept set is reproducible, composable with the train/val/test "
+    "split, and independent of partitioning. A pure map-side filter: "
+    "no shuffle until the audit aggregate.",
+    tags=("sampling", "stratified", "pipeline"),
+)
+def dd_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(100)
+    rate = (
+        F.when(F.col("lang") == "en", 50).when(F.col("lang") == "zh", 80).otherwise(100)
+    )
+    return (
+        docs.filter(bucket < rate)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("n_chars").alias("kept_chars"))
+        .orderBy("lang")
+    )

@@ -500,3 +500,49 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_small"),
         )
     )
+
+
+@register(
+    "q_outlier_trim",
+    oracle="""
+WITH thresh AS (
+  SELECT l_returnflag AS rf,
+         quantile_disc(l_extendedprice, 0.99) AS p99
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, count(*) AS n_outliers,
+       cast(round(sum(cast(cast(l_extendedprice AS varchar) AS decimal(38,12))), 4) AS double) AS outlier_revenue,
+       cast(max(p99) AS double) AS p99_price
+FROM lineitem JOIN thresh ON l_returnflag = rf
+WHERE l_extendedprice > p99
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    doc="Percentile-threshold outlier trim (winsorization's filter half): "
+    "per-group exact p99 via percentile_disc (an actual data value — no "
+    "interpolation to drift), broadcast back onto the fact rows as the "
+    "filter bound. The 100 TB form swaps percentile_disc for the "
+    "approx_percentile sketch; the join shape is identical.",
+    tags=("percentile", "filter", "join"),
+)
+def q_outlier_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_trim")
+    thresh = spark.sql(
+        """
+        SELECT l_returnflag AS rf,
+               percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice) AS p99
+        FROM li_trim GROUP BY l_returnflag
+        """
+    )
+    return (
+        li.join(F.broadcast(thresh), li.l_returnflag == thresh.rf)
+        .filter(F.col("l_extendedprice") > F.col("p99"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_outliers"),
+            dsum(F.col("l_extendedprice")).alias("outlier_revenue"),
+            F.max("p99").cast("double").alias("p99_price"),
+        )
+        .orderBy("l_returnflag")
+    )
