@@ -1059,3 +1059,75 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "q_regex_funcs",
+    oracle="""
+SELECT source,
+       count(*) AS n_docs,
+       sum(len(regexp_extract_all(text, 'data|spark'))) AS n_matches,
+       sum(CASE WHEN regexp_matches(text, '^the ') THEN 1 ELSE 0 END) AS n_the_start,
+       sum(length(regexp_replace(text, '[aeiou]', '', 'g'))) AS chars_no_vowels,
+       max(regexp_extract(text, '^(\\w+)', 1)) AS max_first_word
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+    doc="Regex scalar surface over documents: global match counting "
+    "(regexp_count / extract_all), anchored matching, global "
+    "replacement, group extraction — all JVM-side regexp expressions "
+    "(same engine family as the HPO/HGVS clinical parsers, exercised "
+    "here on free text).",
+    tags=("regex", "string", "agg"),
+)
+def q_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.regexp_count("text", F.lit("data|spark"))).alias("n_matches"),
+            F.sum(F.when(F.col("text").rlike("^the "), 1).otherwise(0)).alias(
+                "n_the_start"
+            ),
+            F.sum(F.length(F.regexp_replace("text", "[aeiou]", ""))).alias(
+                "chars_no_vowels"
+            ),
+            F.max(F.regexp_extract("text", r"^(\w+)", 1)).alias("max_first_word"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q_try_cast",
+    oracle="""
+SELECT p_brand,
+       count(*) AS n,
+       count(try_cast(substr(p_brand, 7) AS bigint)) AS n_numeric_suffix,
+       sum(coalesce(try_cast(substr(p_brand, 7) AS bigint), -1)) AS sum_suffix,
+       count(try_cast(p_name AS bigint)) AS n_name_numeric
+FROM part
+GROUP BY p_brand
+ORDER BY p_brand
+""",
+    doc="try_cast semantics pinned: malformed casts yield NULL (never a "
+    "runtime error) — the property that keeps a 100 TB job from dying on "
+    "one bad row. Brand suffixes parse, free-text names do not; "
+    "count(col) then exposes the null-vs-value split.",
+    tags=("cast", "null", "semantics"),
+)
+def q_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    suffix = F.expr("try_cast(substring(p_brand, 7, 10) as bigint)")
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(suffix).alias("n_numeric_suffix"),
+            F.sum(F.coalesce(suffix, F.lit(-1))).alias("sum_suffix"),
+            F.count(F.expr("try_cast(p_name as bigint)")).alias("n_name_numeric"),
+        )
+        .orderBy("p_brand")
+    )
