@@ -118,3 +118,32 @@ def test_topk_window_group_limit_prunes_before_shuffle(spark, sf_dir):
     # the property that makes per-group top-k viable at 100 TB
     plan = plan_of(QUERIES["q_topk_orders_per_segment"].build(spark, sf_dir))
     assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_lateral_topk_decorrelates_no_nested_loop(spark, sf_dir):
+    # the correlated LATERAL ... LIMIT 2 must lower into a broadcast
+    # equi-join + WindowGroupLimit (map-side per-group pruning), never a
+    # per-outer-row nested-loop re-execution
+    plan = plan_of(QUERIES["q_lateral_topk"].build(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_not_in_nulls_plans_as_hash_join(spark, sf_dir):
+    # NOT IN over a nullable subquery becomes Spark's null-aware anti
+    # join — still a (broadcast) hash join, not a cartesian product
+    plan = plan_of(QUERIES["q_not_in_nulls"].build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_broadcasts_df_table_and_stays_jvm(spark, sf_dir):
+    # the vocab-sized document-frequency table must broadcast back onto
+    # the (doc,token) stream (one wide shuffle total), the per-doc top-3
+    # must pre-prune via WindowGroupLimit, and the whole pipeline stays
+    # JVM-side
+    plan = plan_of(QUERIES["txt_tfidf"].build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "EvalPython" not in plan
