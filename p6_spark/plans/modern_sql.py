@@ -1,0 +1,156 @@
+"""Modern SQL surface: recursive CTEs (calendar gap-fill), the VARIANT
+semi-structured type (Spark 4), and date/interval arithmetic.
+
+The reference has none of these (SURVEY §2.7 — no sorts/windows/recursion
+exist in P6); they are engine-parity operators the harness's SQL surface
+expects. The recursive CTE is the one genuinely iterative construct in
+the registry: Spark executes it as repeated plan expansion with a union,
+which is fine for short ladders (a calendar spine is bounded by the date
+range, ~100 rows) — unbounded recursion over 100 TB facts would instead
+be the iterative-join pattern in operators/graph.py (connected
+components), which checkpoints between rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from p6_spark.plans.registry import register
+from p6_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+_RECURSIVE_SPARK = """
+WITH RECURSIVE bounds AS (
+  SELECT date_trunc('month', min(o_orderdate)) AS lo,
+         date_trunc('month', max(o_orderdate)) AS hi
+  FROM orders
+),
+months(m) AS (
+  SELECT lo FROM bounds
+  UNION ALL
+  SELECT m + INTERVAL '1' MONTH FROM months, bounds WHERE m < hi
+),
+c AS (
+  SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n
+  FROM orders GROUP BY 1
+)
+SELECT date_format(months.m, 'yyyy-MM') AS month, coalesce(c.n, 0) AS n_orders
+FROM months LEFT JOIN c ON months.m = c.m
+ORDER BY month
+"""
+
+
+@register(
+    "q_recursive_cte",
+    oracle="""
+WITH RECURSIVE bounds AS (
+  SELECT date_trunc('month', min(o_orderdate)) AS lo,
+         date_trunc('month', max(o_orderdate)) AS hi
+  FROM orders
+),
+months(m) AS (
+  SELECT lo FROM bounds
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH FROM months, bounds WHERE m < hi
+),
+c AS (
+  SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n
+  FROM orders GROUP BY 1
+)
+SELECT strftime(months.m, '%Y-%m') AS month, coalesce(c.n, 0) AS n_orders
+FROM months LEFT JOIN c ON months.m = c.m
+ORDER BY month
+""",
+    doc="Recursive CTE building a dense month spine between min and max "
+    "order date, left-joined to per-month counts — the gap-filling "
+    "calendar pattern (months with zero orders appear as 0, which a "
+    "plain GROUP BY can never produce). The recursion depth is bounded "
+    "by the date span, not the fact size, so the iterative part stays "
+    "driver-cheap while the count side scans once; at 100 TB the spine "
+    "is still ~100 rows and broadcasts onto the aggregate.",
+    tags=("recursive", "cte", "date"),
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_RECURSIVE_SPARK)
+
+
+@register(
+    "q_variant_json",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       min(cast(json_extract(props, '$.k') AS bigint)) AS min_k,
+       max(cast(json_extract(props, '$.k') AS bigint)) AS max_k,
+       sum(cast(json_extract(props, '$.k') AS bigint)) AS sum_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    doc="Semi-structured VARIANT path (Spark 4): parse_json once into a "
+    "VARIANT column, variant_get typed extraction, then aggregate — the "
+    "shredded-JSON pattern that replaces per-access string re-parsing "
+    "(q_json_extract covers the classic get_json_object spelling). "
+    "VARIANT keeps a binary-encoded tree, so repeated extractions don't "
+    "re-tokenize the text; extraction stays JVM-side codegen.",
+    tags=("variant", "json", "agg"),
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_interval_arith",
+    oracle="""
+SELECT cast(extract(year FROM o_orderdate) AS int) AS yr,
+       count(*) AS n,
+       min(strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d')) AS min_due,
+       max(date_diff('day', cast(o_orderdate AS date), DATE '1999-01-01')) AS max_age_days,
+       min(strftime(last_day(cast(o_orderdate AS date)), '%Y-%m-%d')) AS min_month_end
+FROM orders
+GROUP BY 1
+ORDER BY yr
+""",
+    doc="Date/interval arithmetic family: add_months (end-of-month "
+    "clamping semantics match +INTERVAL MONTH), day difference on date "
+    "granularity (both engines count date boundaries once the timestamp "
+    "is floored to a date), last_day. Results emitted as formatted "
+    "strings / ints for cross-engine hash stability; all expressions "
+    "fold into the scan projection — no shuffle beyond the year rollup.",
+    tags=("date", "interval", "agg"),
+)
+def q_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(
+                F.date_format(F.add_months("o_orderdate", 3), "yyyy-MM-dd")
+            ).alias("min_due"),
+            F.max(
+                F.datediff(F.lit("1999-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+            ).alias("max_age_days"),
+            F.min(
+                F.date_format(F.last_day(F.col("o_orderdate").cast("date")), "yyyy-MM-dd")
+            ).alias("min_month_end"),
+        )
+        .orderBy("yr")
+    )

@@ -147,3 +147,10 @@ def test_tfidf_broadcasts_df_table_and_stays_jvm(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "WindowGroupLimit" in plan
     assert "EvalPython" not in plan
+
+
+def test_variant_extraction_stays_jvm_side(spark, sf_dir):
+    # parse_json/variant_get are native expressions — the semi-structured
+    # path must not fall back to Python evaluation
+    plan = plan_of(QUERIES["q_variant_json"].build(spark, sf_dir))
+    assert "EvalPython" not in plan
