@@ -281,3 +281,64 @@ def txt_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "token", "tf", "df", "tfidf_x1e6")
         .orderBy("doc_id", F.desc("tfidf_x1e6"), "token")
     )
+
+
+@register(
+    "q_generators",
+    oracle="""
+WITH t AS (
+  SELECT p_partkey,
+         unnest(string_split(p_name, ' ')) AS tok,
+         generate_subscripts(string_split(p_name, ' '), 1) AS ord
+  FROM part
+)
+SELECT ord, count(*) AS n, count(DISTINCT tok) AS n_distinct,
+       min(tok) AS min_tok, max(tok) AS max_tok
+FROM t GROUP BY ord ORDER BY ord
+""",
+    doc="Positional table generator: posexplode over the tokenized part "
+    "name (1-based ordinal to match SQL ordinality), rolled up per "
+    "position. Generate runs inside the scan stage (no shuffle before "
+    "the tiny per-position aggregate); the oracle spells the same thing "
+    "with unnest + generate_subscripts since DuckDB lacks WITH "
+    "ORDINALITY.",
+    tags=("generator", "explode", "agg"),
+)
+def q_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    toks = part.select(
+        "p_partkey", F.posexplode(F.split("p_name", " ")).alias("pos", "tok")
+    )
+    return (
+        toks.groupBy((F.col("pos") + 1).cast("bigint").alias("ord"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("tok").alias("n_distinct"),
+            F.min("tok").alias("min_tok"),
+            F.max("tok").alias("max_tok"),
+        )
+        .orderBy("ord")
+    )
+
+
+_GROUP_BY_ALL_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       cast(extract(year FROM min(o_orderdate)) AS int) AS first_yr
+FROM orders
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@register(
+    "q_group_by_all",
+    oracle=_GROUP_BY_ALL_SQL,
+    doc="GROUP BY ALL / ORDER BY ALL (the DuckDB-originated shorthand, "
+    "in Spark since 3.4/4.0): grouping keys inferred from the "
+    "non-aggregate select items, total order over the full row. "
+    "Identical SQL text runs on both engines.",
+    tags=("agg", "sql-surface"),
+)
+def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_GROUP_BY_ALL_SQL)
