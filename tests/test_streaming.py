@@ -4,6 +4,8 @@ dedup stream preserves distinct event_ids."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from p6_spark.sources.tables import load_table
@@ -182,3 +184,51 @@ def test_streaming_merge_sink_matches_batch(spark, sf_dir, tmp_path):
         .reset_index(drop=True)
     )
     assert got.equals(want)
+
+
+def test_transform_with_state_totals_match_batch(spark, sf_dir):
+    # the Spark-4 transformWithState spelling must agree with both the
+    # applyInPandasWithState version and the batch aggregate; it needs
+    # the RocksDB state store provider, and its state-server protocol
+    # needs google.protobuf — absent in this container, so the runtime
+    # check is gated (the operator itself is plain Spark-4 API)
+    pytest.importorskip("google.protobuf")
+    from p6_spark.streaming.events import stateful_user_totals_tws
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = stateful_user_totals_tws(read_events_stream(spark, sf_dir))
+        run_to_memory(stream, "stream_totals_tws", mode="update")
+        finals = {}
+        for r in spark.sql(
+            "select user_id, n_events, total_value from stream_totals_tws"
+        ).collect():
+            finals[r["user_id"]] = (r["n_events"], r["total_value"])
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0)).cast("decimal(38,12)")), 4)
+            .cast("double")
+            .alias("total"),
+        )
+        .collect()
+    )
+    want = {r["user_id"]: (r["n"], r["total"]) for r in batch}
+    assert len(finals) == len(want)
+    for uid, (n, _total) in want.items():
+        assert finals[uid][0] == n
+        # totals accumulate float trigger-by-trigger; exactness is the
+        # oracle-checked batch path's job, the stream just has to be close
+        assert abs(finals[uid][1] - _total) < 1e-6
