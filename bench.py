@@ -38,11 +38,15 @@ HEADLINE = [
     "q_tumbling_events",
     "q_sliding_events",
     "q_sessionize",
+    "q_mode_median",
+    "q_recursive_cte",
+    "q_variant_json",
     "dd_exact_stats",
     "dd_minhash_lsh_pairs",
     "dd_hash_split",
     "txt_quality",
     "txt_repetition",
+    "txt_tfidf",
     "sim_cosine_topk",
 ]
 

@@ -25,15 +25,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 _RECURSIVE_SPARK = """
-WITH RECURSIVE bounds AS (
-  SELECT date_trunc('month', min(o_orderdate)) AS lo,
-         date_trunc('month', max(o_orderdate)) AS hi
-  FROM orders
-),
-months(m) AS (
-  SELECT lo FROM bounds
+WITH RECURSIVE yrs(y) AS (
+  SELECT {lo_y} AS y
   UNION ALL
-  SELECT m + INTERVAL '1' MONTH FROM months, bounds WHERE m < hi
+  SELECT y + 1 FROM yrs WHERE y < {hi_y}
+),
+months AS (
+  SELECT make_timestamp_ntz(y, mth, 1, 0, 0, 0) AS m
+  FROM yrs LATERAL VIEW explode(sequence(1, 12)) t AS mth
+  WHERE make_timestamp_ntz(y, mth, 1, 0, 0, 0)
+        BETWEEN TIMESTAMP_NTZ'{lo_lit}' AND TIMESTAMP_NTZ'{hi_lit}'
 ),
 c AS (
   SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n
@@ -69,15 +70,30 @@ ORDER BY month
     doc="Recursive CTE building a dense month spine between min and max "
     "order date, left-joined to per-month counts — the gap-filling "
     "calendar pattern (months with zero orders appear as 0, which a "
-    "plain GROUP BY can never produce). The recursion depth is bounded "
-    "by the date span, not the fact size, so the iterative part stays "
-    "driver-cheap while the count side scans once; at 100 TB the spine "
-    "is still ~100 rows and broadcasts onto the aggregate.",
+    "plain GROUP BY can never produce). Spark executes each recursion "
+    "round as a separate job, so the Spark side recurses over YEARS "
+    "(<=10 rounds) and explodes 12 months per year instead of walking "
+    "month-by-month (~80 rounds, which measured 16 s at sf0.1 vs ~1 s "
+    "for this shape); the bounds come from one scalar aggregate "
+    "collected up front (same broadcast-a-scalar pattern as "
+    "q_outlier_trim) so the recursive arm never re-scans the fact "
+    "table. The oracle keeps the canonical month-ladder spelling — "
+    "same result, per-engine-appropriate plan.",
     tags=("recursive", "cte", "date"),
 )
 def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(_RECURSIVE_SPARK)
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders")
+    b = orders.agg(
+        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+    ).collect()[0]
+    sql = _RECURSIVE_SPARK.format(
+        lo_y=b["lo"].year,
+        hi_y=b["hi"].year,
+        lo_lit=b["lo"].strftime("%Y-%m-01 00:00:00"),
+        hi_lit=b["hi"].strftime("%Y-%m-01 00:00:00"),
+    )
+    return spark.sql(sql)
 
 
 @register(
