@@ -342,3 +342,43 @@ ORDER BY ALL
 def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_GROUP_BY_ALL_SQL)
+
+
+@register(
+    "q_bag_set_ops",
+    oracle="""
+WITH urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+high AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'),
+ex AS (SELECT o_custkey FROM urgent EXCEPT ALL SELECT o_custkey FROM high),
+ia AS (SELECT o_custkey FROM urgent INTERSECT ALL SELECT o_custkey FROM high)
+SELECT 'except_all' AS op, o_custkey, count(*) AS n FROM ex GROUP BY 2
+UNION ALL
+SELECT 'intersect_all' AS op, o_custkey, count(*) AS n FROM ia GROUP BY 2
+ORDER BY op, o_custkey
+""",
+    doc="Bag-semantics set operations (EXCEPT ALL / INTERSECT ALL): "
+    "per-customer order multiplicities under two priorities, differenced "
+    "and intersected WITH duplicates preserved — q_set_ops covers the "
+    "distinct forms. Spark lowers both to a single hash aggregation on "
+    "the key carrying two counts (no join, no sort): one shuffle each, "
+    "same shape at any scale. Output re-aggregated per key for a "
+    "deterministic compact result.",
+    tags=("set-ops", "bag", "agg"),
+)
+def q_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    high = orders.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    ex = (
+        urgent.exceptAll(high)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "o_custkey", "n")
+    )
+    ia = (
+        urgent.intersectAll(high)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "o_custkey", "n")
+    )
+    return ex.unionAll(ia).orderBy("op", "o_custkey")
