@@ -170,3 +170,98 @@ def q_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr")
     )
+
+
+_COLLATION_SPARK = """
+SELECT t.label, count(*) AS n
+FROM part p
+JOIN VALUES ('economy', 'budget-tier'),
+            ('promo', 'promo-tier'),
+            ('standard', 'base-tier') AS t(key, label)
+  ON p.p_type = t.key COLLATE UTF8_LCASE
+GROUP BY t.label
+ORDER BY t.label
+"""
+
+
+@register(
+    "q_collation",
+    oracle="""
+SELECT t.label, count(*) AS n
+FROM part p
+JOIN (VALUES ('economy', 'budget-tier'),
+             ('promo', 'promo-tier'),
+             ('standard', 'base-tier')) t(key, label)
+  ON lower(p_type) = t.key
+GROUP BY t.label
+ORDER BY t.label
+""",
+    doc="Collation-aware comparison (Spark 4): join uppercase part types "
+    "to a lowercase tier dimension under UTF8_LCASE — no lower() "
+    "wrapping on the fact column, so the predicate stays sargable and "
+    "the tiny VALUES dim broadcasts. The oracle spells the same "
+    "semantics with lower() since DuckDB scopes collations differently.",
+    tags=("collation", "join", "sql-surface"),
+)
+def q_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_COLLATION_SPARK)
+
+
+_WINDOW_NAV_SPARK = """
+SELECT o_orderpriority,
+       n_orders,
+       second_key,
+       last_f_key
+FROM (
+  SELECT o_orderpriority,
+         count(*) OVER w_full AS n_orders,
+         nth_value(o_orderkey, 2) OVER w_full AS second_key,
+         last_value(CASE WHEN o_orderstatus = 'F' THEN o_orderkey END)
+           IGNORE NULLS OVER w_full AS last_f_key,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+  WINDOW w_full AS (PARTITION BY o_orderpriority
+                    ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+WHERE rn = 1
+ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "q_window_nav2",
+    oracle="""
+SELECT o_orderpriority,
+       n_orders,
+       second_key,
+       last_f_key
+FROM (
+  SELECT o_orderpriority,
+         count(*) OVER w_full AS n_orders,
+         nth_value(o_orderkey, 2) OVER w_full AS second_key,
+         last_value(CASE WHEN o_orderstatus = 'F' THEN o_orderkey END
+                    IGNORE NULLS) OVER w_full AS last_f_key,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+  WINDOW w_full AS (PARTITION BY o_orderpriority
+                    ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+WHERE rn = 1
+ORDER BY o_orderpriority
+""",
+    doc="Window navigation completions over a named WINDOW clause: "
+    "nth_value on the full frame, last_value IGNORE NULLS (latest "
+    "completed order per priority — nulls synthesized by the CASE), and "
+    "a count over the same frame, all sharing one Window node plus the "
+    "row_number dedup pass; total-order tiebreaks on o_orderkey. "
+    "q_window_suite covers rank/lag/lead/ntile/cume_dist.",
+    tags=("window", "navigation"),
+)
+def q_window_nav2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_WINDOW_NAV_SPARK)
