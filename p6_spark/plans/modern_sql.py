@@ -265,3 +265,103 @@ ORDER BY o_orderpriority
 def q_window_nav2(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_WINDOW_NAV_SPARK)
+
+
+@register(
+    "q_asof_nearest",
+    oracle="""
+WITH m AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+),
+marked AS (
+  SELECT user_id, event_id, event_type, us,
+    last_value(CASE WHEN event_type = 'view'
+                    THEN struct_pack(us := us, id := event_id) END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev,
+    first_value(CASE WHEN event_type = 'view'
+                     THEN struct_pack(us := us, id := event_id) END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY us, event_id
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxt
+  FROM m
+),
+scored AS (
+  SELECT user_id, event_id, us,
+         prev, nxt,
+         us - (prev).us AS dprev,
+         (nxt).us - us AS dnext,
+         prev IS NOT NULL AND us - (prev).us <= 1800000000 AS prev_ok,
+         nxt IS NOT NULL AND (nxt).us - us <= 1800000000 AS next_ok
+  FROM marked WHERE event_type = 'purchase'
+)
+SELECT user_id, event_id AS purchase_id,
+       CASE WHEN prev_ok AND (NOT next_ok OR dprev <= dnext) THEN (prev).id
+            WHEN next_ok THEN (nxt).id END AS nearest_view_id,
+       CASE WHEN prev_ok AND (NOT next_ok OR dprev <= dnext) THEN dprev
+            WHEN next_ok THEN dnext END AS dist_us
+FROM scored
+ORDER BY user_id, purchase_id
+""",
+    doc="Nearest-neighbor as-of join: each purchase matched to the "
+    "CLOSEST view by absolute event-time distance within +-30 min, tie "
+    "to the earlier view — q_asof_prior_view covers the backward-only "
+    "form. Both candidate directions come from the same ordered window "
+    "pass (last/first IGNORE NULLS carrying (ts,id) structs), so the "
+    "whole operator is one shuffle on user_id and never materializes "
+    "candidate pairs — the join-free rewrite that survives any key "
+    "cardinality. Distances in exact epoch microseconds (unix_micros / "
+    "epoch_us agree bit-for-bit).",
+    tags=("asof", "window", "nearest"),
+)
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    lim = 1_800_000_000  # 30 min in microseconds
+    ev = _t(spark, sf_dir, "events")
+    m = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    view_struct = F.when(
+        F.col("event_type") == "view",
+        F.struct(F.col("us").alias("us"), F.col("event_id").alias("id")),
+    )
+    order = [F.col("us"), F.col("event_id")]
+    w_prev = (
+        W.partitionBy("user_id").orderBy(*order).rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_next = (
+        W.partitionBy("user_id").orderBy(*order).rowsBetween(1, W.unboundedFollowing)
+    )
+    marked = m.select(
+        "*",
+        F.last(view_struct, ignorenulls=True).over(w_prev).alias("prev"),
+        F.first(view_struct, ignorenulls=True).over(w_next).alias("nxt"),
+    )
+    scored = marked.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        (F.col("us") - F.col("prev.us")).alias("dprev"),
+        (F.col("nxt.us") - F.col("us")).alias("dnext"),
+        (F.col("prev").isNotNull() & ((F.col("us") - F.col("prev.us")) <= lim)).alias(
+            "prev_ok"
+        ),
+        (F.col("nxt").isNotNull() & ((F.col("nxt.us") - F.col("us")) <= lim)).alias(
+            "next_ok"
+        ),
+        F.col("prev.id").alias("prev_id"),
+        F.col("nxt.id").alias("next_id"),
+    )
+    prefer_prev = F.col("prev_ok") & (~F.col("next_ok") | (F.col("dprev") <= F.col("dnext")))
+    return scored.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.when(prefer_prev, F.col("prev_id"))
+        .when(F.col("next_ok"), F.col("next_id"))
+        .alias("nearest_view_id"),
+        F.when(prefer_prev, F.col("dprev"))
+        .when(F.col("next_ok"), F.col("dnext"))
+        .alias("dist_us"),
+    ).orderBy("user_id", "purchase_id")
