@@ -38,6 +38,7 @@ HEADLINE = [
     "q_tumbling_events",
     "q_sliding_events",
     "q_sessionize",
+    "q_asof_nearest",
     "q_mode_median",
     "q_recursive_cte",
     "q_variant_json",
