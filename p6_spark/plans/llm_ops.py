@@ -751,3 +751,43 @@ def dd_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("n_chars").alias("kept_chars"))
         .orderBy("lang")
     )
+
+
+@register(
+    "mm_binary_meta",
+    oracle="""
+SELECT source,
+       count(*) AS n_docs,
+       sum(octet_length(encode(text))) AS total_bytes,
+       max(octet_length(encode(text))) AS max_bytes,
+       min(md5(text)) AS min_md5,
+       count(DISTINCT md5(text)) AS n_distinct_payloads
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+    doc="Binary-column metadata pass — the oracle-checkable half of the "
+    "multimodal pattern (operators/multimodal.py holds the mapInPandas "
+    "decode plumbing, rows-only): payloads as opaque bytes, per-source "
+    "byte totals and md5 content identity, incl. an exact distinct count "
+    "of payload hashes (content-addressed dedup cardinality). Everything "
+    "is JVM-side column expressions over the binary type; at 100 TB the "
+    "md5 doubles as the shard-stable content key the dedup operators "
+    "group on (cf. dd_exact_stats).",
+    tags=("multimodal", "binary", "agg"),
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    b = docs.select("source", payload.alias("payload"))
+    return (
+        b.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.octet_length("payload")).alias("total_bytes"),
+            F.max(F.octet_length("payload")).alias("max_bytes"),
+            F.min(F.md5("payload")).alias("min_md5"),
+            F.countDistinct(F.md5("payload")).alias("n_distinct_payloads"),
+        )
+        .orderBy("source")
+    )
