@@ -154,3 +154,33 @@ def test_variant_extraction_stays_jvm_side(spark, sf_dir):
     # path must not fall back to Python evaluation
     plan = plan_of(QUERIES["q_variant_json"].build(spark, sf_dir))
     assert "EvalPython" not in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    # the 100 TB shape for a selectively-filtered dim joined to a huge
+    # fact WITHOUT broadcast: Catalyst injects a bloom filter built from
+    # the dim side and semi-filters the fact scan before the shuffle
+    # (spark.sql.optimizer.runtime.bloomFilter.*). Thresholds here are
+    # forced so the rewrite fires at test scale; on a cluster the
+    # defaults (10 MB creation side) gate it to genuinely selective dims.
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+        j = li.join(part, li.l_partkey == part.p_partkey).groupBy("p_brand").count()
+        plan = plan_of(j)
+        assert "might_contain" in plan.lower(), "runtime bloom filter did not fire"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
