@@ -245,7 +245,7 @@ per_session AS (
   FROM sessions GROUP BY user_id, session_id
 )
 SELECT user_id, count(*) AS n_sessions,
-       sum(n_events) AS n_events,
+       cast(sum(n_events) AS bigint) AS n_events,
        max(duration_s)::bigint AS max_session_s
 FROM per_session GROUP BY user_id ORDER BY user_id
 """,
@@ -485,7 +485,7 @@ def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        count(*) AS n,
-       sum(json_extract(props, '$.k')::bigint) AS sum_k,
+       cast(sum(json_extract(props, '$.k')::bigint) AS bigint) AS sum_k,
        min(json_extract(props, '$.k')::bigint) AS min_k,
        max(json_extract(props, '$.k')::bigint) AS max_k
 FROM events
@@ -517,7 +517,7 @@ SELECT label,
        count(*) AS n,
        min(len(embedding)) AS min_dim,
        max(len(embedding)) AS max_dim,
-       sum(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) AS n_pos_first,
+       cast(sum(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) AS bigint) AS n_pos_first,
        min((floor(embedding[1]::double * 1000000))::bigint) AS min_first_x1e6
 FROM embeddings
 GROUP BY label ORDER BY label
@@ -589,7 +589,7 @@ SELECT event_type,
        max(len(json_keys(props))) AS max_nkeys,
        max(array_to_string(json_keys(props), ',')) AS key_sig,
        min(json_extract(props, '$.k')::bigint) AS min_k,
-       sum(json_extract(props, '$.k')::bigint) AS sum_vals
+       cast(sum(json_extract(props, '$.k')::bigint) AS bigint) AS sum_vals
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -637,7 +637,7 @@ SELECT label,
        count(*) AS n,
        min(cast(list_sum(list_transform(t, v -> v * v)) AS bigint)) AS min_norm2,
        max(cast(list_sum(list_transform(t, v -> v * v)) AS bigint)) AS max_norm2,
-       sum(n_neg) AS total_neg
+       cast(sum(n_neg) AS bigint) AS total_neg
 FROM scaled
 GROUP BY label
 ORDER BY label
@@ -682,11 +682,11 @@ SELECT l_returnflag,
        bit_xor(l_orderkey) AS xor_keys,
        bit_and(l_orderkey) AS and_keys,
        bit_or(l_orderkey) AS or_keys,
-       sum(l_orderkey % 7) AS sum_mod7,
-       sum(greatest(l_partkey, l_suppkey)) AS sum_greatest,
-       sum(least(l_partkey, l_suppkey)) AS sum_least,
-       sum(l_linenumber << 2) AS sum_shl,
-       sum(abs(l_quantity - 25)::bigint) AS sum_absdev
+       cast(sum(l_orderkey % 7) AS bigint) AS sum_mod7,
+       cast(sum(greatest(l_partkey, l_suppkey)) AS bigint) AS sum_greatest,
+       cast(sum(least(l_partkey, l_suppkey)) AS bigint) AS sum_least,
+       cast(sum(l_linenumber << 2) AS bigint) AS sum_shl,
+       cast(sum(abs(l_quantity - 25)::bigint) AS bigint) AS sum_absdev
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
@@ -744,7 +744,7 @@ merged AS (
   FROM tgt FULL OUTER JOIN src ON tgt.c_custkey = src.k
 )
 SELECT merge_status, count(*) AS n,
-       sum(bal_x100) AS total_bal_x100,
+       cast(sum(bal_x100) AS bigint) AS total_bal_x100,
        min(c_custkey) AS min_key, max(c_custkey) AS max_key
 FROM merged
 GROUP BY merge_status
@@ -821,9 +821,9 @@ wf AS (
 )
 SELECT prio, quartile,
        count(*) AS n,
-       sum(cents) AS sum_cents,
-       sum(lag_diff) AS sum_lag_diff,
-       sum(lead_diff) AS sum_lead_diff,
+       cast(sum(cents) AS bigint) AS sum_cents,
+       cast(sum(lag_diff) AS bigint) AS sum_lag_diff,
+       cast(sum(lead_diff) AS bigint) AS sum_lead_diff,
        max(rnk) AS max_rank,
        max(drnk) AS max_dense_rank,
        max(min_cents_in_prio) AS first_cents,
@@ -927,11 +927,11 @@ WITH x AS (
 )
 SELECT l_returnflag,
        count(*) AS n,
-       sum(price_usd) AS sum_x,
-       sum(qty) AS sum_y,
-       sum(price_usd * price_usd) AS sum_x2,
-       sum(qty * qty) AS sum_y2,
-       sum(price_usd * qty) AS sum_xy
+       cast(sum(price_usd) AS bigint) AS sum_x,
+       cast(sum(qty) AS bigint) AS sum_y,
+       cast(sum(price_usd * price_usd) AS bigint) AS sum_x2,
+       cast(sum(qty * qty) AS bigint) AS sum_y2,
+       cast(sum(price_usd * qty) AS bigint) AS sum_xy
 FROM x
 GROUP BY l_returnflag
 ORDER BY l_returnflag
@@ -978,8 +978,8 @@ SELECT l_linestatus,
        count(*) AS n_rows,
        count(disc_pct) AS n_discounted,
        count(DISTINCT disc_pct) AS n_distinct_disc,
-       sum(CASE WHEN disc_pct IS NOT DISTINCT FROM tax_pct THEN 1 ELSE 0 END) AS n_nullsafe_eq,
-       sum(coalesce(disc_pct, 0)) AS sum_disc_pct
+       cast(sum(CASE WHEN disc_pct IS NOT DISTINCT FROM tax_pct THEN 1 ELSE 0 END) AS bigint) AS n_nullsafe_eq,
+       cast(sum(coalesce(disc_pct, 0)) AS bigint) AS sum_disc_pct
 FROM x
 GROUP BY l_linestatus
 ORDER BY l_linestatus
@@ -1066,9 +1066,9 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT source,
        count(*) AS n_docs,
-       sum(len(regexp_extract_all(text, 'data|spark'))) AS n_matches,
-       sum(CASE WHEN regexp_matches(text, '^the ') THEN 1 ELSE 0 END) AS n_the_start,
-       sum(length(regexp_replace(text, '[aeiou]', '', 'g'))) AS chars_no_vowels,
+       cast(sum(len(regexp_extract_all(text, 'data|spark'))) AS bigint) AS n_matches,
+       cast(sum(CASE WHEN regexp_matches(text, '^the ') THEN 1 ELSE 0 END) AS bigint) AS n_the_start,
+       cast(sum(length(regexp_replace(text, '[aeiou]', '', 'g'))) AS bigint) AS chars_no_vowels,
        max(regexp_extract(text, '^(\\w+)', 1)) AS max_first_word
 FROM documents
 GROUP BY source
@@ -1106,7 +1106,7 @@ def q_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT p_brand,
        count(*) AS n,
        count(try_cast(substr(p_brand, 7) AS bigint)) AS n_numeric_suffix,
-       sum(coalesce(try_cast(substr(p_brand, 7) AS bigint), -1)) AS sum_suffix,
+       cast(sum(coalesce(try_cast(substr(p_brand, 7) AS bigint), -1)) AS bigint) AS sum_suffix,
        count(try_cast(p_name AS bigint)) AS n_name_numeric
 FROM part
 GROUP BY p_brand

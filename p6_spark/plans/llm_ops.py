@@ -58,9 +58,9 @@ WITH groups AS (
   SELECT md5(text) AS digest, count(*) AS n FROM documents GROUP BY md5(text)
 )
 SELECT count(*) AS n_distinct_texts,
-       sum(n) AS n_docs,
+       cast(sum(n) AS bigint) AS n_docs,
        count(*) FILTER (WHERE n > 1) AS n_dup_groups,
-       coalesce(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END), 0) AS n_redundant_docs
+       cast(coalesce(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END), 0) AS bigint) AS n_redundant_docs
 FROM groups
 """,
     doc="Exact dedup via content digest: shuffle the 16-byte md5, never the "
@@ -459,12 +459,22 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_features",
-    oracle=None,  # Python codec stage: not SQL-expressible
+    oracle="""
+SELECT doc_id AS media_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS digest,
+       cast(least(32, octet_length(encode(text))) AS bigint) AS feat_dim
+FROM documents
+ORDER BY media_id
+""",
     doc="Multimodal feature extraction (operators/multimodal.py): "
     "document text re-cast as opaque binary payloads, routed through "
     "the Arrow-batched mapInPandas decode/feature stage (codec stubbed "
     "deterministically; see P6_SPARK_REAL_DECODE). Exercises the binary-"
-    "column + typed-metadata plumbing on a harness table.",
+    "column + typed-metadata plumbing on a harness table. The emitted "
+    "columns are all SQL facts (byte length, md5 identity, feature dim "
+    "= min(32, n_bytes) by the stub's construction), so the Python "
+    "stage itself is oracle-checked.",
     tags=("multimodal", "mapinpandas"),
 )
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -478,19 +488,54 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         extract_features(media)
-        .select("media_id", "n_bytes", "digest", F.size("feature").alias("feat_dim"))
+        .select(
+            "media_id",
+            "n_bytes",
+            "digest",
+            F.size("feature").cast("long").alias("feat_dim"),
+        )
         .orderBy("media_id")
     )
 
 
 @register(
     "dd_cc_clusters",
-    oracle=None,  # recursive/iterative: not expressible as one SQL query
+    oracle=f"""
+WITH RECURSIVE {_sql_minhash_sig('TRUE')},
+bands AS (
+  SELECT doc_id, 0 AS band_idx, cast(h0 AS varchar) || '_' || cast(h1 AS varchar) AS band_val FROM sig
+  UNION ALL
+  SELECT doc_id, 1, cast(h2 AS varchar) || '_' || cast(h3 AS varchar) FROM sig
+  UNION ALL
+  SELECT doc_id, 2, cast(h4 AS varchar) || '_' || cast(h5 AS varchar) FROM sig
+  UNION ALL
+  SELECT doc_id, 3, cast(h6 AS varchar) || '_' || cast(h7 AS varchar) FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT u AS node, u AS label FROM edges
+  UNION
+  SELECT e.u, r.label FROM edges e JOIN reach r ON r.node = e.v
+),
+comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node)
+SELECT component, count(*) AS cluster_size
+FROM comp GROUP BY component ORDER BY component
+""",
     doc="Exact duplicate clustering: connected components over the "
     "MinHash-LSH candidate-pair graph via iterative min-label "
     "propagation (operators/graph.py), one shuffle per round, "
     "localCheckpoint lineage truncation. Verified against a union-find "
-    "oracle in tests/test_graph.py.",
+    "oracle in tests/test_graph.py AND a DuckDB recursive transitive-"
+    "closure min-label twin (candidate graphs are tiny at oracle SF).",
     tags=("dedup", "graph", "iterative"),
 )
 def dd_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -507,13 +552,102 @@ def dd_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_minhash_sig_over(src: str, num_hashes: int = 8) -> str:
+    """Like _sql_minhash_sig but over an arbitrary relation (CTE name)."""
+    parts = []
+    for i in range(num_hashes):
+        seeded = "'" + str(i) + "_' || tok"
+        parts.append(f"min({_SQL_MD5INT.format(x=seeded)}) AS h{i}")
+    hashes = ",\n         ".join(parts)
+    return f"""
+p_toks AS (
+  SELECT doc_id, unnest(list_distinct({_SQL_TOKENS})) AS tok
+  FROM {src}
+),
+p_sig AS (
+  SELECT doc_id,
+         {hashes}
+  FROM p_toks GROUP BY doc_id
+)"""
+
+
+_SQL_LANGID_CASE = """
+         CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+              WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+              WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+              WHEN s_es > 0 AND s_es >= s_zh THEN 'es'
+              WHEN s_zh > 0 THEN 'zh'
+              ELSE 'unknown' END
+"""
+
+
 @register(
     "pipe_llm_corpus",
-    oracle=None,  # stage composition; each stage is oracle-checked on its own
+    oracle=f"""
+WITH gated AS (
+  SELECT * FROM documents
+  WHERE len({_SQL_TOKENS}) >= 5
+    AND round(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+              / greatest(length(text), 1), 6) <= 0.3
+    AND round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+              / greatest(length(text), 1), 6) <= 0.5
+),
+exact AS (
+  SELECT g.* FROM gated g
+  JOIN (SELECT text AS k_text, min(doc_id) AS keep_id FROM gated GROUP BY text) k
+    ON g.text = k.k_text AND g.doc_id = k.keep_id
+),
+{_sql_minhash_sig_over('exact').lstrip()},
+p_bands AS (
+  SELECT doc_id, 0 AS band_idx, cast(h0 AS varchar) || '_' || cast(h1 AS varchar) AS band_val FROM p_sig
+  UNION ALL
+  SELECT doc_id, 1, cast(h2 AS varchar) || '_' || cast(h3 AS varchar) FROM p_sig
+  UNION ALL
+  SELECT doc_id, 2, cast(h4 AS varchar) || '_' || cast(h5 AS varchar) FROM p_sig
+  UNION ALL
+  SELECT doc_id, 3, cast(h6 AS varchar) || '_' || cast(h7 AS varchar) FROM p_sig
+),
+losers AS (
+  SELECT DISTINCT b.doc_id
+  FROM p_bands a JOIN p_bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+),
+clean AS (
+  SELECT e.* FROM exact e WHERE e.doc_id NOT IN (SELECT doc_id FROM losers)
+),
+scored AS (
+  SELECT clean.*,
+         list_distinct(list_transform({_SQL_TOKENS}, y -> lower(y))) AS lt
+  FROM clean
+),
+enriched AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         len({_SQL_TOKENS}) AS n_ws_tokens,
+         len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+')) AS n_bpe_tokens,
+         len(list_intersect(lt, ['the','a','value','table','row'])) AS s_en,
+         len(list_intersect(lt, ['der','die','das','und'])) AS s_de,
+         len(list_intersect(lt, ['le','la','et','les'])) AS s_fr,
+         len(list_intersect(lt, ['el','la','los','que'])) AS s_es,
+         len(list_intersect(lt, ['de','shi','bu'])) AS s_zh,
+         list_reduce(
+           list_prepend(0::bigint,
+             list_transform({_SQL_TOKENS}, tok -> {_SQL_MD5INT.format(x='tok')})),
+           (a, b) -> (a * 31 + b) % 1000000007) AS doc_fingerprint
+  FROM scored
+)
+SELECT doc_id, text, lang, source, n_chars, n_ws_tokens, n_bpe_tokens,
+       {_SQL_LANGID_CASE} AS lang_pred,
+       doc_fingerprint
+FROM enriched
+ORDER BY doc_id
+""",
     doc="End-to-end corpus pipeline (pipelines/llm_corpus.py): quality "
     "gate -> exact dedup -> MinHash-LSH near-dedup -> token/lang/"
-    "fingerprint enrichment. Returns the enriched clean corpus; stage "
-    "counts are asserted in tests/test_llm_corpus.py.",
+    "fingerprint enrichment. Every stage is deterministic md5/integer "
+    "arithmetic, so the WHOLE composition has a DuckDB twin — the "
+    "oracle replays gate, min-id exact dedup, LSH banding with greedy "
+    "larger-id drop, and the enrichment columns. Stage counts also "
+    "asserted in tests/test_llm_corpus.py.",
     tags=("pipeline", "dedup", "text"),
 )
 def pipe_llm_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -536,17 +670,20 @@ def pipe_llm_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="HLL++ approx distinct + approximate percentiles — the sketches a "
     "100 TB profile pass uses instead of exact distinct/sort. Rows-only: "
     "sketch results are engine-specific by design; the exact counterparts "
-    "are oracle-checked in q_distinct_counts.",
+    "are oracle-checked in q_distinct_counts and q_percentiles. Scalar "
+    "columns only (p50/p95/p99 flattened) — array outputs crash the "
+    "driver's pandas canonicalizer.",
     tags=("sketch", "agg"),
 )
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    pcts = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
     return li.agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_suppkey").alias("approx_supps"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
-            "price_percentiles"
-        ),
+        pcts.getItem(0).alias("price_p50"),
+        pcts.getItem(1).alias("price_p95"),
+        pcts.getItem(2).alias("price_p99"),
     )
 
 
@@ -562,7 +699,7 @@ SELECT CASE WHEN bucket < 90 THEN 'train'
             WHEN bucket < 95 THEN 'validation'
             ELSE 'test' END AS split,
        count(*) AS n_docs,
-       sum(n_chars) AS total_chars,
+       cast(sum(n_chars) AS bigint) AS total_chars,
        min(doc_id) AS min_doc_id,
        max(doc_id) AS max_doc_id
 FROM b
@@ -607,7 +744,7 @@ per_doc AS (
 )
 SELECT token,
        count(*) AS doc_freq,
-       sum(c) AS coll_freq
+       cast(sum(c) AS bigint) AS coll_freq
 FROM per_doc
 GROUP BY token
 ORDER BY doc_freq DESC, coll_freq DESC, token
@@ -726,7 +863,7 @@ kept AS (
   SELECT lang, n_chars FROM b
   WHERE bucket < CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 80 ELSE 100 END
 )
-SELECT lang, count(*) AS n_kept, sum(n_chars) AS kept_chars
+SELECT lang, count(*) AS n_kept, cast(sum(n_chars) AS bigint) AS kept_chars
 FROM kept
 GROUP BY lang
 ORDER BY lang
@@ -758,7 +895,7 @@ def dd_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT source,
        count(*) AS n_docs,
-       sum(octet_length(encode(text))) AS total_bytes,
+       cast(sum(octet_length(encode(text))) AS bigint) AS total_bytes,
        max(octet_length(encode(text))) AS max_bytes,
        min(md5(text)) AS min_md5,
        count(DISTINCT md5(text)) AS n_distinct_payloads
@@ -785,7 +922,7 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.octet_length("payload")).alias("total_bytes"),
-            F.max(F.octet_length("payload")).alias("max_bytes"),
+            F.max(F.octet_length("payload")).cast("long").alias("max_bytes"),
             F.min(F.md5("payload")).alias("min_md5"),
             F.countDistinct(F.md5("payload")).alias("n_distinct_payloads"),
         )

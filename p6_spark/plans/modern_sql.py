@@ -103,7 +103,7 @@ SELECT event_type,
        count(*) AS n,
        min(cast(json_extract(props, '$.k') AS bigint)) AS min_k,
        max(cast(json_extract(props, '$.k') AS bigint)) AS max_k,
-       sum(cast(json_extract(props, '$.k') AS bigint)) AS sum_k
+       cast(sum(cast(json_extract(props, '$.k') AS bigint)) AS bigint) AS sum_k
 FROM events
 GROUP BY event_type
 ORDER BY event_type

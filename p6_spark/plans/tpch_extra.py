@@ -218,7 +218,7 @@ WITH bal AS (
 pos AS (
   SELECT count(*) AS n, sum(bal_x100) AS total FROM bal WHERE bal_x100 > 0
 )
-SELECT c_nationkey, count(*) AS numcust, sum(bal_x100) AS totacctbal_x100
+SELECT c_nationkey, count(*) AS numcust, cast(sum(bal_x100) AS bigint) AS totacctbal_x100
 FROM bal, pos
 WHERE bal_x100 * pos.n > pos.total
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey

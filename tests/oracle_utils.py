@@ -51,9 +51,28 @@ def _norm_obj(v):
     return v
 
 
+def _dtype_kind(dtype) -> str:
+    # Collapse width but NOT numeric family: the driver hashes raw values, so
+    # a DuckDB HUGEINT sum materialized as float64 (937.0) must NOT be allowed
+    # to match Spark's int64 (937) here, or the local gate passes what the
+    # driver's hash fails.
+    k = np.dtype(dtype).kind if dtype != object else "O"
+    return {"u": "i"}.get(k, k)
+
+
 def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
     """Return a list of mismatch descriptions (empty = parity)."""
     problems: list[str] = []
+    shared = sorted(set(spark_pdf.columns) & set(oracle_pdf.columns))
+    for c in shared:
+        ka, kb = _dtype_kind(spark_pdf[c].dtype), _dtype_kind(oracle_pdf[c].dtype)
+        if ka != kb:
+            problems.append(
+                f"dtype kind differs for column {c!r}: spark={spark_pdf[c].dtype}"
+                f" oracle={oracle_pdf[c].dtype} (driver hash would mismatch)"
+            )
+    if problems:
+        return problems
     a, b = canonicalize(spark_pdf), canonicalize(oracle_pdf)
     if list(a.columns) != list(b.columns):
         problems.append(f"columns differ: spark={list(a.columns)} oracle={list(b.columns)}")
