@@ -4,8 +4,9 @@
   p6x audit-excel <workbook> [--json]
   p6x download [--tag TAG] [-o DIR]
 
-A "workbook" is an .xlsx file (needs pandas+openpyxl) or a directory of
-CSVs (dependency-free). Exit code is 0 even when rows were rejected —
+A "workbook" is an .xlsx file (read by the stdlib zipfile/xml parser in
+sources/xlsx.py — no openpyxl needed) or a directory of CSVs. Exit code
+is 0 even when rows were rejected —
 the issue report is printed, matching the reference's
 error-channel-not-abort contract (src/P6/__main__.py:258-268).
 """
@@ -35,9 +36,11 @@ def cmd_parse_excel(args: argparse.Namespace) -> int:
 
     ontology = None
     if args.hpo:
-        from p6_spark.sources.ontology import ontology_from_hpotk
+        # stdlib obographs parser — no hpotk needed (ontology_from_hpotk
+        # remains for environments that have it)
+        from p6_spark.sources.ontology import ontology_from_obographs
 
-        ontology = ontology_from_hpotk(spark, args.hpo)
+        ontology = ontology_from_obographs(spark, args.hpo)
 
     result = apply_mapping(
         spark, tables, ontology=ontology, strict_variants=args.strict_variants

@@ -59,11 +59,18 @@ def to_bool(col: Column) -> Column:
     Truthy set {1,true,t,yes,y}, falsy set {0,false,f,no,n,""}; anything
     else falls back to Python truthiness (non-empty => True). Real
     workbooks rely on the fallback: "O"/"E" and "Phased"/"Unphased" are
-    all True. Null -> False (pandas NaN is falsy through the fallback).
+    all True.
+
+    Null -> True, matching what the reference actually does to a missing
+    workbook cell: pandas hands ``_to_bool`` ``float('nan')``, whose str
+    form "nan" is in neither set, so it falls through to
+    ``bool(float('nan'))`` — and NaN is truthy in Python. (The
+    reference's explicit ``None -> False`` branch never fires on the
+    workbook path; pandas missing cells are NaN, not None.)
     """
     s = F.lower(F.trim(col.cast("string")))
     return (
-        F.when(col.isNull(), F.lit(False))
+        F.when(col.isNull(), F.lit(True))
         .when(s.isin(*_TRUTHY), F.lit(True))
         .when(s.isin(*_FALSY), F.lit(False))
         .otherwise(F.length(s) > 0)
@@ -71,9 +78,14 @@ def to_bool(col: Column) -> Column:
 
 
 def email_or_default(col: Column, default: str = "unknown@example.com") -> Column:
-    """Missing contact email -> fixed default (reference src/P6/mapper.py:272-276)."""
+    """Missing contact email -> fixed default (reference src/P6/mapper.py:272-276).
+
+    Only a genuinely missing cell (pd.isna == Spark null) gets the
+    default; the reference keeps ''/'nan' STRINGS as-is and lets the
+    email-format constraint reject the row with an error.
+    """
     s = F.trim(col.cast("string"))
-    return F.when(col.isNull() | (s == "") | (F.lower(s) == "nan"), F.lit(default)).otherwise(s)
+    return F.when(col.isNull(), F.lit(default)).otherwise(s)
 
 
 def canonical_chromosome(col: Column) -> Column:

@@ -87,27 +87,36 @@ def load_workbook_dir(spark: SparkSession, path: str) -> dict[str, DataFrame]:
 
 
 def load_workbook_excel(spark: SparkSession, path: str) -> dict[str, DataFrame]:
-    """Excel workbook via pandas/openpyxl on the driver (reference
-    src/P6/loader.py:30-45: pd.ExcelFile + read_excel per sheet).
-    Gated behind an import-try: raises a clear error if openpyxl is
-    absent. Sheets are small; the distributed path starts after
-    createDataFrame."""
-    try:
-        import pandas as pd  # noqa: F401
+    """Excel workbook via the dependency-free stdlib xlsx parser
+    (sources/xlsx.py) — same semantics as the reference's
+    pd.ExcelFile + read_excel(header=0) per sheet
+    (src/P6/loader.py:30-45) but with no openpyxl requirement. Sheets
+    are small driver-side objects; the distributed path starts after
+    createDataFrame.
 
-        xls = pd.ExcelFile(path)
-    except ImportError as e:  # pragma: no cover - environment-dependent
-        raise RuntimeError(
-            "Excel reading requires pandas+openpyxl; convert the workbook to "
-            "a CSV directory and use load_workbook_dir instead"
-        ) from e
+    Robustness: sheets with no rows at all are skipped; a headed sheet
+    with zero data rows becomes an empty DataFrame with an explicit
+    all-string schema (never schema inference, which would raise on
+    empty/all-None columns)."""
+    from pyspark.sql import types as T
+
+    from p6_spark.sources.xlsx import read_xlsx
+
     out: dict[str, DataFrame] = {}
-    for sheet in xls.sheet_names:
-        pdf = xls.parse(sheet_name=sheet, header=0, dtype=str)
-        if pdf.empty and len(pdf.columns) == 0:
+    for sheet, rows in read_xlsx(path).items():
+        if not rows:
             continue
-        pdf = pdf.where(pdf.notna(), None)
-        sdf = spark.createDataFrame(pdf.astype(object))
+        header = [
+            str(h) if h is not None else f"Unnamed: {i}"
+            for i, h in enumerate(rows[0])
+        ]
+        if not header:
+            continue
+        schema = T.StructType(
+            [T.StructField(c, T.StringType(), True) for c in header]
+        )
+        data = [tuple(r[: len(header)]) for r in rows[1:]]
+        sdf = spark.createDataFrame(data, schema)
         out[sheet] = normalize_columns(sdf)
     return out
 

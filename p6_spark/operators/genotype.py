@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from p6_spark.audit import StageResult, audit_entries, audit_from_rows, union_audits
-from p6_spark.functions.hgvs import hgvs_raw_consistent
+from p6_spark.functions.hgvs import hgvs_g_is_malformed, hgvs_raw_consistent
 from p6_spark.functions.scalars import email_or_default, to_bool
 from p6_spark.loader import promote_patient_id
 from p6_spark.schemas import (
@@ -72,9 +72,14 @@ def map_genotype_table(
     df = df.withColumn("_seq", F.monotonically_increasing_id())
 
     # --- normalize (F3 email default, F4 chromosome canonicalization) ------
-    chrom_raw = F.trim(F.col("chromosome").cast("string"))
+    # Reference parity for missing cells: parse_genotype_row stringifies
+    # every value (src/P6/mapper.py:248-283), so a NaN chromosome becomes
+    # 'nan' -> 'chrnan' (NOT 'Missing chromosome' — that fires only for
+    # empty strings), and NaN zygosity/inheritance become the token 'nan'
+    # -> 'Unrecognized ... code' error. Spark nulls model pandas NaN.
+    chrom_raw = F.trim(F.coalesce(F.col("chromosome").cast("string"), F.lit("nan")))
     df = df.withColumn("contact_email", email_or_default(F.col("contact_email")))
-    df = df.withColumn("_chrom_missing", F.col("chromosome").isNull() | (chrom_raw == ""))
+    df = df.withColumn("_chrom_missing", chrom_raw == "")
     df = df.withColumn(
         "_chrom",
         F.when(F.lower(chrom_raw).startswith("chr"), chrom_raw).otherwise(
@@ -84,10 +89,12 @@ def map_genotype_table(
 
     # --- zip-truncation token pairs (G1) -----------------------------------
     z_tokens = F.transform(
-        F.split(F.col("zygosity").cast("string"), "/"), lambda t: F.lower(F.trim(t))
+        F.split(F.coalesce(F.col("zygosity").cast("string"), F.lit("nan")), "/"),
+        lambda t: F.lower(F.trim(t)),
     )
     i_tokens = F.transform(
-        F.split(F.col("inheritance").cast("string"), "/"), lambda t: F.lower(F.trim(t))
+        F.split(F.coalesce(F.col("inheritance").cast("string"), F.lit("nan")), "/"),
+        lambda t: F.lower(F.trim(t)),
     )
     pairs = F.filter(
         F.arrays_zip(z_tokens.alias("z"), i_tokens.alias("i")),
@@ -98,6 +105,23 @@ def map_genotype_table(
     bad_i = F.exists(F.col("_pairs"), lambda p: ~p["i"].isin(list(INHERITANCE_MAP)))
 
     # --- J3: HGVS vs raw coordinates (warn, or error under --strict) -------
+    # check_hgvs_consistency (src/P6/mapper.py:561-575) first ERRORS on any
+    # g. string its [^:]+ pattern cannot parse (every del/dup/ins, and
+    # 'nan' from a missing cell) and returns early; only parseable strings
+    # reach the mismatch comparison. Neither audit drops the row.
+    malformed = hgvs_g_is_malformed(F.col("hgvsg"))
+    malformed_audit = audit_from_rows(
+        df,
+        malformed,
+        step,
+        sheet_name,
+        "error",
+        F.concat(
+            F.lit(f"Sheet '{sheet_name}': malformed HGVS g. notation '"),
+            F.coalesce(F.trim(F.col("hgvsg").cast("string")), F.lit("nan")),
+            F.lit("'"),
+        ),
+    )
     consistent = hgvs_raw_consistent(
         F.col("hgvsg"),
         F.col("chromosome"),
@@ -131,7 +155,11 @@ def map_genotype_table(
         .when(bad_i, F.lit("Unrecognized inheritance code"))
         .when(F.col("_chrom_missing"), F.lit("Missing chromosome"))
         .when(
-            ~F.col("genotype_patient_ID").cast("string").rlike(VALID_ID_PATTERN),
+            # str(NaN) == 'nan' matches _VALID_ID in the reference, so a
+            # missing ID yields a 'nan'-keyed record — bug-compatible.
+            ~F.coalesce(
+                F.col("genotype_patient_ID").cast("string"), F.lit("nan")
+            ).rlike(VALID_ID_PATTERN),
             F.lit("Invalid patient ID"),
         )
         .when(~F.col("contact_email").rlike(EMAIL_PATTERN), F.lit("Invalid contact email"))
@@ -169,7 +197,9 @@ def map_genotype_table(
     records = (
         ok.select(
             "_seq",
-            F.col("genotype_patient_ID").cast("string").alias("genotype_patient_ID"),
+            F.coalesce(F.col("genotype_patient_ID").cast("string"), F.lit("nan")).alias(
+                "genotype_patient_ID"
+            ),
             "contact_email",
             to_bool(F.col("phasing")).alias("phasing"),
             F.col("_chrom").alias("chromosome"),
@@ -187,7 +217,9 @@ def map_genotype_table(
         .withColumn("inheritance", i_map[F.col("_pair.i")])
         .drop("_pair")
     )
-    return StageResult(valid=records, audit=union_audits(hgvs_audit, row_audit))
+    return StageResult(
+        valid=records, audit=union_audits(malformed_audit, hgvs_audit, row_audit)
+    )
 
 
 def _empty_schema():

@@ -63,10 +63,14 @@ def assemble_phenopackets(
         )
 
     if genotypes is not None:
+        # Expression carries ONLY {"value": ...}: the reference's
+        # _add_hgvs_expression looks up a nonexistent 'HGVS' enum attr on
+        # Expression (src/P6/genotype.py:374-376), so syntax is never set
+        # and MessageToJson omits the default-valued field. Matching that
+        # keeps packet JSON byte-diffable against reference output.
         vd = F.struct(
             F.array(
                 F.struct(
-                    F.lit("hgvs").alias("syntax"),
                     hgvs_g_normalize(F.col("hgvsg")).alias("value"),
                 )
             ).alias("expressions"),

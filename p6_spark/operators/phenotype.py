@@ -90,7 +90,12 @@ def map_phenotype_table(
     # P8: dataclass constraints (src/P6/phenotype.py:33-54)
     fail = (
         F.when(
-            ~F.col("phenotype_patient_ID").cast("string").rlike(VALID_ID_PATTERN),
+            # str(NaN) == 'nan' matches _VALID_ID in the reference
+            # (src/P6/mapper.py:367), so a missing ID is bug-compatibly
+            # valid and keys a 'nan' record.
+            ~F.coalesce(
+                F.col("phenotype_patient_ID").cast("string"), F.lit("nan")
+            ).rlike(VALID_ID_PATTERN),
             F.lit("Invalid patient ID"),
         )
         .when(~F.col("_curie").rlike(HPO_ID_PATTERN), F.lit("Invalid HPO ID"))
@@ -109,7 +114,9 @@ def map_phenotype_table(
 
     records = ok.select(
         "_seq",
-        F.col("phenotype_patient_ID").cast("string").alias("phenotype_patient_ID"),
+        F.coalesce(F.col("phenotype_patient_ID").cast("string"), F.lit("nan")).alias(
+            "phenotype_patient_ID"
+        ),
         F.col("_curie").alias("hpo_id"),
         F.col("_label").alias("raw_label"),
         F.col("_date").alias("date_of_observation"),

@@ -351,7 +351,13 @@ def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         banded_range_join(ev, bands, "value", band=50.0)
-        .groupBy("lo", "hi")
+        # band bounds are exact multiples of 50: emit them as bigint to
+        # match DuckDB's integer range() (double 0.0 vs int 0 would
+        # hash-mismatch)
+        .groupBy(
+            F.col("lo").cast("long").alias("lo"),
+            F.col("hi").cast("long").alias("hi"),
+        )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             _dsum(F.col("value")).alias("total_value"),

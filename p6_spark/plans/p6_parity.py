@@ -97,7 +97,7 @@ WITH raw AS (
   FROM events WHERE event_id < 400
 )
 SELECT coalesce(raw_flag, '<null>') AS raw_flag,
-       CASE WHEN raw_flag IS NULL THEN false
+       CASE WHEN raw_flag IS NULL THEN true
             WHEN lower(trim(raw_flag)) IN ('1','true','t','yes','y') THEN true
             WHEN lower(trim(raw_flag)) IN ('0','false','f','no','n','') THEN false
             ELSE length(lower(trim(raw_flag))) > 0
@@ -109,7 +109,9 @@ ORDER BY raw_flag, as_bool
 """,
     doc="F2 _to_bool truthiness fallback (reference src/P6/mapper.py:218-235): "
     "'O','E','Phased' are all True via the fallback — the bug-compatible "
-    "semantic the real workbooks rely on (SURVEY §5.3).",
+    "semantic the real workbooks rely on (SURVEY §5.3). Null is True too: "
+    "a missing pandas cell is NaN, str 'nan' is in neither set, and "
+    "bool(nan) is True.",
     tags=("p6", "scalar"),
 )
 def p6_to_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -156,7 +158,7 @@ SELECT c_custkey,
             WHEN lower(trim(chrom)) LIKE 'chr%' THEN trim(chrom)
             ELSE 'chr' || trim(chrom)
        END AS chromosome,
-       CASE WHEN email IS NULL OR trim(email) = '' OR lower(trim(email)) = 'nan'
+       CASE WHEN email IS NULL
             THEN 'unknown@example.com' ELSE trim(email) END AS contact_email
 FROM raw
 ORDER BY c_custkey

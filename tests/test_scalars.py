@@ -51,7 +51,9 @@ def test_normalize_time_like(spark, raw, expected):
         ("false", False),
         ("no", False),
         ("", False),
-        (None, False),
+        # null = missing workbook cell = pandas NaN in the reference, and
+        # str(nan)="nan" falls through to bool(nan) which is True
+        (None, True),
         # truthiness fallback — the real-workbook semantic (SURVEY §5.3)
         ("O", True),
         ("E", True),
@@ -67,9 +69,12 @@ def test_to_bool_with_truthiness_fallback(spark, raw, expected):
     "raw,expected",
     [
         ("user@example.com", "user@example.com"),
+        # only a genuinely missing cell (pd.isna) gets the default —
+        # the reference keeps ''/'nan' strings and the email-format
+        # constraint later rejects the row (src/P6/mapper.py:272-276)
         (None, "unknown@example.com"),
-        ("", "unknown@example.com"),
-        ("nan", "unknown@example.com"),
+        ("", ""),
+        ("nan", "nan"),
     ],
 )
 def test_email_or_default(spark, raw, expected):

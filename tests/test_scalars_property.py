@@ -17,9 +17,11 @@ _FALSY = {"0", "false", "f", "no", "n", ""}
 
 
 def ref_to_bool(v: str | None) -> bool:
-    # reference src/P6/mapper.py:218-235
+    # reference src/P6/mapper.py:218-235. None models a missing workbook
+    # cell, which pandas hands the reference as NaN: str 'nan' is in
+    # neither set and bool(float('nan')) is True.
     if v is None:
-        return False
+        return True
     s = v.strip().lower()
     if s in _TRUTHY:
         return True

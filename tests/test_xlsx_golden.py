@@ -1,0 +1,114 @@
+"""Golden parity against the reference's REAL Excel workbooks
+(/root/reference/tests/data/*.xlsx), read through the dependency-free
+stdlib xlsx parser (p6_spark/sources/xlsx.py).
+
+Mirrors reference tests/test_cli_parse_excel.py:38-70 (nonzero genotype
+and phenotype counts per workbook) and the golden values of
+tests/test_mapper_apply_construct.py:17-77 (HP zero-padding, chr-stripped
+g. expression in the packet, clean happy path).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from p6_spark.loader import load_workbook
+from p6_spark.mapper import apply_mapping
+from p6_spark.sources.xlsx import read_xlsx
+
+DATA = "/root/reference/tests/data"
+SYDNEY = os.path.join(DATA, "Sydney_Python_transformation.xlsx")
+PHENOCOPY = os.path.join(DATA, "Python_headers_phenocopy_transformation.xlsx")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(SYDNEY), reason="reference workbooks not available"
+)
+
+
+def test_read_xlsx_shapes():
+    sheets = read_xlsx(SYDNEY)
+    assert list(sheets) == ["genotype", "phenotype", "severity periodicity"]
+    geno = sheets["genotype"]
+    assert geno[0][:4] == ["Searchable Patient ID", "Contact Email", "Phasing", "chrom"]
+    assert len(geno) == 13  # header + 12 data rows
+    # sparse cell: row 1 has no contact email -> None, not a shift
+    assert geno[1][0] == "1" and geno[1][1] is None and geno[1][3] == "chr16"
+    # the 'severity periodicity' sheet is headed but has no data rows
+    assert sheets["severity periodicity"] == [["to be designed"]]
+
+
+def test_headed_zero_row_sheet_loads_without_crash(spark):
+    # ADVICE: empty template sheets must not break createDataFrame
+    tables = load_workbook(spark, SYDNEY)
+    sp = tables["severity periodicity"]
+    assert sp.count() == 0
+    assert sp.columns == ["to_be_designed"]
+    assert all(f.dataType.simpleString() == "string" for f in sp.schema.fields)
+
+
+def test_sydney_workbook_golden(spark):
+    tables = load_workbook(spark, SYDNEY)
+    res = apply_mapping(spark, tables)
+    stats = res.stats()
+    # reference CLI test asserts >0 of each; exact counts pinned as goldens
+    assert stats["n_genotype"] == 12
+    assert stats["n_phenotype"] == 14  # 15 rows, one NAD dropped
+    assert stats["n_patients"] == 13
+    # only the NAD warning — the happy path is audit-clean like the
+    # reference's `assert not note.has_errors(...)`
+    audit = [(r["level"], r["message"]) for r in res.audit.collect()]
+    assert [lvl for lvl, _ in audit] == ["warning"]
+    assert "'NAD' encountered" in audit[0][1]
+
+    # 'Rod-cone dystrophy HP:0000510 ' parses + zero-pads (HP:0000510
+    # golden from reference test_mapper_apply_construct.py:66)
+    pheno = {
+        (r["phenotype_patient_ID"], r["hpo_id"])
+        for r in res.records["phenotype"].collect()
+    }
+    assert ("1", "HP:0000510") in pheno
+
+    # packet expression value is the chr-stripped normalized g. string
+    # (reference golden '16:g.100A>G' shape, :68-75)
+    pkt = res.packets.filter("id = '1'").collect()[0]
+    expr = pkt["interpretations"][0]["diagnosis"]["genomicInterpretations"][0][
+        "variantInterpretation"
+    ]["variationDescriptor"]["expressions"][0]
+    # value-only: the reference's enum lookup never sets syntax, and
+    # MessageToJson omits default fields (src/P6/genotype.py:374-376)
+    assert expr.asDict() == {"value": "16:g.16177614C>T"}
+    assert pkt["subject"]["id"] == "1"
+
+
+def test_phenocopy_workbook_golden(spark):
+    tables = load_workbook(spark, PHENOCOPY)
+    res = apply_mapping(spark, tables)
+    stats = res.stats()
+    # row 1: zygosity 'het/hom/comphet/hemi/mosaic' zips against
+    # inheritance 'unknown/inherited/denovo' -> truncation to 3 records
+    # (G1); row 2 bails with an unrecognized-code error.
+    assert stats["n_genotype"] == 3
+    assert stats["n_phenotype"] == 4
+    assert stats["n_patients"] == 3
+    zygs = [
+        r["zygosity"]
+        for r in res.records["genotype"].orderBy("_pos").collect()
+    ]
+    assert zygs == ["heterozygous", "homozygous", "compound_heterozygosity"]
+    errors = [
+        r["message"] for r in res.audit.filter("level = 'error'").collect()
+    ]
+    assert any("zygosity" in m or "inheritance" in m for m in errors)
+
+
+def test_parse_excel_cli_on_real_xlsx(tmp_path, capsys, spark):
+    from p6_spark.cli import main
+
+    rc = main(["parse-excel", SYDNEY, "-o", str(tmp_path / "out")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Created 13 phenopackets" in out
+    assert "n_genotype: 12" in out
+    assert "n_phenotype: 14" in out
