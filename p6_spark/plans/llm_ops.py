@@ -369,12 +369,65 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.brute_force_topk(emb, queries, k=5)
 
 
+def _sql_lsh_sig(table: int, num_planes: int = 8) -> str:
+    """DuckDB twin of operators/similarity.lsh_signature: bit-packed
+    random-hyperplane signature with md5-parity ±1 components. DuckDB
+    lambda indexes are 1-based, hence (i-1)."""
+    parts = []
+    for p in range(num_planes):
+        sign = (
+            f"(CASE WHEN ('0x' || substr(md5('t{table}_plane{p}_' || (i-1)), 1, 8))::bigint"
+            " % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+        )
+        proj = f"list_sum(list_transform(v, (x,i) -> x * {sign}))"
+        parts.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(parts) + ")"
+
+
 @register(
     "sim_lsh_ann",
-    oracle=None,  # LSH bucketing is verified by recall tests, not SQL parity
-    doc="ANN top-k via random-hyperplane LSH (8 md5-derived planes): "
-    "signature equi-join replaces the cross join. Recall vs brute force "
-    "asserted in tests/test_similarity.py.",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::double[] AS v FROM embeddings),
+sigs AS (
+  SELECT vec_id, v,
+         {_sql_lsh_sig(0)} AS s0,
+         {_sql_lsh_sig(1)} AS s1,
+         {_sql_lsh_sig(2)} AS s2,
+         {_sql_lsh_sig(3)} AS s3
+  FROM e
+),
+b AS (
+  SELECT vec_id, unnest([0, 1, 2, 3]) AS tbl, unnest([s0, s1, s2, s3]) AS sig
+  FROM sigs
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS match_id
+  FROM b q JOIN b c ON q.tbl = c.tbl AND q.sig = c.sig
+  WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id
+),
+scored AS (
+  SELECT query_id, match_id,
+         round(list_inner_product(qe.v, ce.v)
+               / (sqrt(list_inner_product(qe.v, qe.v)) * sqrt(list_inner_product(ce.v, ce.v))),
+               6) AS cos_sim
+  FROM cand
+  JOIN e qe ON qe.vec_id = query_id
+  JOIN e ce ON ce.vec_id = match_id
+),
+ranked AS (
+  SELECT query_id, match_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, match_id) AS rnk
+  FROM scored
+)
+SELECT query_id, match_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
+ORDER BY query_id, rnk
+""",
+    doc="ANN top-k via random-hyperplane LSH (8 md5-derived planes, 4 "
+    "OR-amplified tables): signature equi-join replaces the cross join. "
+    "Hyperplanes are md5-parity ±1 and projections fold left-to-right, "
+    "so the bucketing is bit-deterministic — the DuckDB twin replays "
+    "signatures, bucket collisions, and the exact re-rank. Recall vs "
+    "brute force additionally asserted in tests/test_similarity.py.",
     tags=("similarity", "lsh"),
 )
 def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -442,7 +495,13 @@ def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_ivf_ann",
-    oracle=None,  # index structure is engine-specific; recall tested vs brute force
+    # Deliberately rows-only: the Lloyd rounds take per-centroid MEANS via
+    # distributed avg(), whose float summation order is partition-dependent
+    # — replaying them in DuckDB cannot be bit-identical, and a
+    # boundary-case assignment flip would cascade. The deterministic parts
+    # that CAN be oracle-checked are (via sim_lsh_ann and sim_cosine_topk);
+    # IVF recall/determinism-within-Spark is pinned in tests.
+    oracle=None,
     doc="IVF ANN top-k (operators/ivf.py): deterministic k-means "
     "centroids, codegen argmin assignment, n_probe nearest lists per "
     "query, exact cosine re-rank inside probed lists — touches "
