@@ -101,8 +101,6 @@ def map_genotype_table(
         lambda p: p["z"].isNotNull() & p["i"].isNotNull(),
     )
     df = df.withColumn("_pairs", pairs)
-    bad_z = F.exists(F.col("_pairs"), lambda p: ~p["z"].isin(list(ZYGOSITY_MAP)))
-    bad_i = F.exists(F.col("_pairs"), lambda p: ~p["i"].isin(list(INHERITANCE_MAP)))
 
     # --- J3: HGVS vs raw coordinates (warn, or error under --strict) -------
     # check_hgvs_consistency (src/P6/mapper.py:561-575) first ERRORS on any
@@ -136,49 +134,117 @@ def map_genotype_table(
         step,
         sheet_name,
         "error" if strict_variants else "warning",
+        # reference msg format (src/P6/mapper.py:495-499): raw cell values
+        # rendered as-is ('nan' for missing)
         F.concat(
-            F.lit(f"Sheet '{sheet_name}': hgvsg "),
-            F.coalesce(F.col("hgvsg").cast("string"), F.lit("<null>")),
-            F.lit(" does not match raw variant columns"),
+            F.lit(f"Sheet '{sheet_name}': HGVS '"),
+            F.coalesce(F.trim(F.col("hgvsg").cast("string")), F.lit("nan")),
+            F.lit("' disagrees with raw ("),
+            F.coalesce(F.col("chromosome").cast("string"), F.lit("nan")),
+            F.lit(":"),
+            F.coalesce(F.col("start_position").cast("string"), F.lit("nan")),
+            F.lit("-"),
+            F.coalesce(F.col("end_position").cast("string"), F.lit("nan")),
+            F.lit(" "),
+            F.coalesce(F.col("reference").cast("string"), F.lit("nan")),
+            F.lit(">"),
+            F.coalesce(F.col("alternate").cast("string"), F.lit("nan")),
+            F.lit(")"),
         ),
     )
 
-    # --- row-level validity (P6op/P7/P8), first failing rule wins ----------
+    # --- row-level validity (P6op/P7/P8): replay the reference's per-row
+    # failure ORDER and MESSAGES exactly (parse_genotype_row's pair loop +
+    # Genotype.__post_init__, src/P6/mapper.py:247-311, genotype.py:140-170).
+    # Per pair: zygosity code, inheritance code; then the pair-independent
+    # checks fire at pair 0 (Missing chromosome, int() casts, post-init
+    # constraints); a bad code in a LATER pair is reached only when every
+    # row-level check passed.
     st = _long_like(F.col("start_position"))
     en = _long_like(F.col("end_position"))
-    nonempty = lambda c: F.trim(F.col(c).cast("string")) != ""  # noqa: E731
+    zlist, ilist = list(ZYGOSITY_MAP), list(INHERITANCE_MAP)
+
+    def _bad_pair(p):
+        return ~p["z"].isin(zlist) | ~p["i"].isin(ilist)
+
+    first_bad = F.try_element_at(F.filter(F.col("_pairs"), _bad_pair), F.lit(1))
+    pair0_bad = _bad_pair(F.try_element_at(F.col("_pairs"), F.lit(1)))
+    pair_code_msg = F.when(
+        ~first_bad["z"].isin(zlist),
+        F.concat(F.lit("Unrecognized zygosity code '"), first_bad["z"], F.lit("'")),
+    ).otherwise(
+        F.concat(F.lit("Unrecognized inheritance code '"), first_bad["i"], F.lit("'"))
+    )
+
+    id_str = F.coalesce(F.col("genotype_patient_ID").cast("string"), F.lit("nan"))
     chrom_ok = F.lower(F.col("_chrom")).startswith("chr") | F.lower(F.col("_chrom")).isin(
         list(ALLOWED_CHROM_ENCODINGS)
     )
+
+    def _int_fail(col_name, parsed):
+        """Mirror int(row[...]): NaN cell vs unparseable string messages."""
+        raw = F.col(col_name)
+        s = F.trim(raw.cast("string"))
+        return (
+            F.when(raw.isNull(), F.lit("cannot convert float NaN to integer")),
+            F.when(
+                parsed.isNull() & raw.isNotNull(),
+                F.concat(
+                    F.lit("invalid literal for int() with base 10: '"), s, F.lit("'")
+                ),
+            ),
+        )
+
+    st_nan, st_lit = _int_fail("start_position", st)
+    en_nan, en_lit = _int_fail("end_position", en)
+
+    def _empty(c):
+        return F.trim(F.coalesce(F.col(c).cast("string"), F.lit("nan"))) == ""
+
     fail_reason = (
-        F.when(bad_z, F.lit("Unrecognized zygosity code"))
-        .when(bad_i, F.lit("Unrecognized inheritance code"))
+        F.when(first_bad.isNotNull() & pair0_bad, pair_code_msg)
         .when(F.col("_chrom_missing"), F.lit("Missing chromosome"))
+        .when(st_nan.isNotNull(), st_nan)
+        .when(st_lit.isNotNull(), st_lit)
+        .when(en_nan.isNotNull(), en_nan)
+        .when(en_lit.isNotNull(), en_lit)
         .when(
             # str(NaN) == 'nan' matches _VALID_ID in the reference, so a
             # missing ID yields a 'nan'-keyed record — bug-compatible.
-            ~F.coalesce(
-                F.col("genotype_patient_ID").cast("string"), F.lit("nan")
-            ).rlike(VALID_ID_PATTERN),
-            F.lit("Invalid patient ID"),
+            ~id_str.rlike(VALID_ID_PATTERN),
+            F.concat(F.lit("Invalid patient ID: '"), id_str, F.lit("'")),
         )
-        .when(~F.col("contact_email").rlike(EMAIL_PATTERN), F.lit("Invalid contact email"))
-        .when(~chrom_ok, F.lit("Unrecognized chromosome"))
         .when(
-            st.isNull() | (st < 0), F.lit("start_position must be a non-negative integer")
-        )
-        .when(en.isNull() | (en < 0), F.lit("end_position must be a non-negative integer"))
-        .when(
-            ~(
-                nonempty("reference")
-                & nonempty("alternate")
-                & nonempty("gene_symbol")
-                & nonempty("hgvsg")
-                & nonempty("hgvsc")
-                & nonempty("hgvsp")
+            ~F.col("contact_email").rlike(EMAIL_PATTERN),
+            F.concat(
+                F.lit("Invalid contact email: '"), F.col("contact_email"), F.lit("'")
             ),
-            F.lit("variant string fields must be nonempty"),
         )
+        .when(
+            ~chrom_ok,
+            F.concat(F.lit("Unrecognized chromosome: '"), F.col("_chrom"), F.lit("'")),
+        )
+        .when(
+            st < 0,
+            F.concat(
+                F.lit("start_position must be a non-negative integer, got "),
+                st.cast("string"),
+            ),
+        )
+        .when(
+            en < 0,
+            F.concat(
+                F.lit("end_position must be a non-negative integer, got "),
+                en.cast("string"),
+            ),
+        )
+        .when(_empty("reference"), F.lit("reference must be a nonempty string"))
+        .when(_empty("alternate"), F.lit("alternate must be a nonempty string"))
+        .when(_empty("gene_symbol"), F.lit("gene_symbol must be a nonempty string"))
+        .when(_empty("hgvsg"), F.lit("hgvsg must be a nonempty string"))
+        .when(_empty("hgvsc"), F.lit("hgvsc must be a nonempty string"))
+        .when(_empty("hgvsp"), F.lit("hgvsp must be a nonempty string"))
+        .when(first_bad.isNotNull(), pair_code_msg)
     )
     df = df.withColumn("_fail", fail_reason)
     row_audit = audit_from_rows(

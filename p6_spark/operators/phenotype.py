@@ -61,7 +61,8 @@ def map_phenotype_table(
         step,
         sheet_name,
         "warning",
-        F.lit(f"Sheet '{sheet_name}': 'NAD' encountered - skipping phenotype row"),
+        # en dash, byte-exact with src/P6/mapper.py:331-333
+        F.lit(f"Sheet '{sheet_name}': 'NAD' encountered – skipping phenotype row"),
     )
     df = df.filter(~nad)
 
@@ -79,27 +80,37 @@ def map_phenotype_table(
         step,
         sheet_name,
         "error",
+        # str(NaN) == 'nan' is what the reference formats for missing cells
         F.concat(
             F.lit(f"Sheet '{sheet_name}': Cannot parse HPO term+ID from '"),
-            F.coalesce(F.col("hpo_id").cast("string"), F.lit("<null>")),
+            F.coalesce(F.trim(F.col("hpo_id").cast("string")), F.lit("nan")),
             F.lit("'"),
         ),
     )
     df = df.filter(~unparseable)
 
     # P8: dataclass constraints (src/P6/phenotype.py:33-54)
+    # Phenotype.__post_init__ messages with the offending value, in check
+    # order (src/P6/phenotype.py:33-54)
+    pid_str = F.coalesce(F.col("phenotype_patient_ID").cast("string"), F.lit("nan"))
     fail = (
         F.when(
             # str(NaN) == 'nan' matches _VALID_ID in the reference
             # (src/P6/mapper.py:367), so a missing ID is bug-compatibly
             # valid and keys a 'nan' record.
-            ~F.coalesce(
-                F.col("phenotype_patient_ID").cast("string"), F.lit("nan")
-            ).rlike(VALID_ID_PATTERN),
-            F.lit("Invalid patient ID"),
+            ~pid_str.rlike(VALID_ID_PATTERN),
+            F.concat(F.lit("Invalid patient ID: '"), pid_str, F.lit("'")),
         )
-        .when(~F.col("_curie").rlike(HPO_ID_PATTERN), F.lit("Invalid HPO ID"))
-        .when(~F.col("_date").rlike(TIMESTAMP_PATTERN), F.lit("Invalid date_of_observation"))
+        .when(
+            ~F.col("_curie").rlike(HPO_ID_PATTERN),
+            F.concat(F.lit("Invalid HPO ID: '"), F.col("_curie"), F.lit("'")),
+        )
+        .when(
+            ~F.col("_date").rlike(TIMESTAMP_PATTERN),
+            F.concat(
+                F.lit("Invalid date_of_observation: '"), F.col("_date"), F.lit("'")
+            ),
+        )
     )
     df = df.withColumn("_fail", fail)
     constraint_audit = audit_from_rows(

@@ -109,7 +109,7 @@ def test_hgvs_mismatch_warns_but_keeps_row(spark):
     r = map_genotype_table(spark, geno_df(spark, [row(start="107", end="108")]))
     assert r.valid.count() == 1
     warns = [a for a in r.audit.collect() if a["level"] == "warning"]
-    assert any("does not match raw variant columns" in a["message"] for a in warns)
+    assert any("disagrees with raw (" in a["message"] for a in warns)
 
 
 def test_hgvs_mismatch_strict_is_error(spark):
@@ -117,7 +117,7 @@ def test_hgvs_mismatch_strict_is_error(spark):
         spark, geno_df(spark, [row(start="107", end="108")]), strict_variants=True
     )
     errs = [a for a in r.audit.collect() if a["level"] == "error"]
-    assert any("does not match raw variant columns" in a["message"] for a in errs)
+    assert any("disagrees with raw (" in a["message"] for a in errs)
 
 
 def test_bed_like_coordinates_pass(spark):
@@ -141,3 +141,51 @@ def test_phased_unphased_truthiness(spark):
         spark, geno_df(spark, [row(phasing="Phased"), row(pid="P200", phasing="Unphased")])
     )
     assert [x["phasing"] for x in r.valid.collect()] == [True, True]
+
+
+def test_error_messages_match_reference_format(spark):
+    # token-bearing messages, byte-exact with the reference's
+    # f"... {tok!r}" formatting (src/P6/mapper.py:262-268, genotype.py:142-170)
+    r = map_genotype_table(spark, geno_df(spark, [row(zyg="het/badcode", inh="inherited/denovo")]))
+    msgs = [a["message"] for a in r.audit.collect() if a["level"] == "error"]
+    assert "Sheet 'genotype': Unrecognized zygosity code 'badcode'" in msgs
+
+    r = map_genotype_table(spark, geno_df(spark, [row(pid="P-100")]))
+    msgs = [a["message"] for a in r.audit.collect() if a["level"] == "error"]
+    assert "Sheet 'genotype': Invalid patient ID: 'P-100'" in msgs
+
+    r = map_genotype_table(spark, geno_df(spark, [row(start=None)]))
+    msgs = [a["message"] for a in r.audit.collect() if a["level"] == "error"]
+    assert "Sheet 'genotype': cannot convert float NaN to integer" in msgs
+
+    r = map_genotype_table(spark, geno_df(spark, [row(start="abc")]))
+    msgs = [a["message"] for a in r.audit.collect() if a["level"] == "error"]
+    assert "Sheet 'genotype': invalid literal for int() with base 10: 'abc'" in msgs
+
+
+def test_row_check_order_matches_reference_pair_loop(spark):
+    # pair 0 codes valid, chromosome missing, pair 1 zygosity bad: the
+    # reference validates pair 0 (codes ok), then bails on the missing
+    # chromosome BEFORE ever reaching pair 1's bad code.
+    r = map_genotype_table(
+        spark, geno_df(spark, [row(chrom="", zyg="het/badcode", inh="inherited/denovo")])
+    )
+    msgs = [a["message"] for a in r.audit.collect() if a["level"] == "error"]
+    assert msgs == ["Sheet 'genotype': Missing chromosome"]
+
+    # pair 0 inheritance bad beats pair 1 zygosity bad AND the missing
+    # chromosome (per-pair checks run first for pair 0)
+    r = map_genotype_table(
+        spark, geno_df(spark, [row(chrom="", zyg="het/badcode", inh="badinh/denovo")])
+    )
+    msgs = [a["message"] for a in r.audit.collect() if a["level"] == "error"]
+    assert msgs == ["Sheet 'genotype': Unrecognized inheritance code 'badinh'"]
+
+
+def test_null_zygosity_audits_as_nan_token(spark):
+    # missing zygosity cell: the reference stringifies NaN and errors with
+    # the 'nan' token instead of silently dropping the row
+    r = map_genotype_table(spark, geno_df(spark, [row(zyg=None)]))
+    assert r.valid.count() == 0
+    msgs = [a["message"] for a in r.audit.collect() if a["level"] == "error"]
+    assert "Sheet 'genotype': Unrecognized zygosity code 'nan'" in msgs
