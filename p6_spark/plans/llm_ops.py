@@ -987,3 +987,187 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing, contamination detection, packing stats
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+@register(
+    "txt_pii_scrub",
+    oracle=f"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' contact user' || cast(doc_id AS varchar)
+              || '@example.com or +1-555-' || lpad(cast(doc_id % 10000 AS varchar), 4, '0')
+           AS t
+  FROM documents
+),
+scrubbed AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '{_EMAIL_RE}')) AS n_emails,
+         len(regexp_extract_all(t, '{_PHONE_RE}')) AS n_phones,
+         regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{_PHONE_RE}', '<PHONE>', 'g') AS red
+  FROM seeded
+)
+SELECT doc_id, n_emails, n_phones,
+       length(red) AS redacted_len,
+       md5(red) AS redacted_md5
+FROM scrubbed
+ORDER BY doc_id
+""",
+    doc="PII scrubbing pass — the redaction step every training-corpus "
+    "pipeline runs before packing: detect + replace email/phone patterns "
+    "with placeholder tags, count hits, and emit a content hash of the "
+    "redacted text so the transform itself is value-checked. Synthetic "
+    "PII is seeded deterministically from doc_id (the harness corpus has "
+    "none), so both engines replay the same input. Pure JVM regexp — a "
+    "linear scan with zero shuffle at any scale.",
+    tags=("text", "pii", "scrub"),
+)
+def txt_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(seeded, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.regexp_count(seeded, F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+            F.regexp_count(seeded, F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+            F.length(red).cast("long").alias("redacted_len"),
+            F.md5(red).alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dd_contamination",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           CASE WHEN len(t) >= 3
+                THEN list_transform(generate_series(1, len(t) - 2),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                ELSE [array_to_string(t, ' ')] END)) AS s
+  FROM corpus
+),
+bench_sh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+eval_docs AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM eval_docs GROUP BY doc_id),
+shared AS (
+  SELECT e.doc_id, count(*) AS n_shared
+  FROM eval_docs e JOIN bench_sh b ON e.s = b.s
+  GROUP BY e.doc_id
+)
+SELECT s.doc_id, s.n_sh, sh.n_shared,
+       (sh.n_shared * 1000000) // s.n_sh AS overlap_x1e6,
+       (sh.n_shared * 1000000) // s.n_sh >= 500000 AS contaminated
+FROM sizes s JOIN shared sh ON sh.doc_id = s.doc_id
+ORDER BY s.doc_id
+""",
+    doc="Benchmark-contamination detection — docs sharing 3-gram shingles "
+    "with a held-out benchmark set (here: doc_id % 97 as the stand-in "
+    "eval set). The shingle equi-join + per-doc overlap ratio is the "
+    "standard decontamination pass before training; at 100 TB the "
+    "benchmark shingle set is small and BROADCASTS, so the corpus scan "
+    "never shuffles — only the tiny per-doc counts do. Flags docs with "
+    ">= 50% shingle overlap.",
+    tags=("dedup", "contamination", "jaccard"),
+)
+def dd_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(dd.word_shingles(F.col("text"), 3))).alias("s"),
+    )
+    bench = F.broadcast(
+        sh.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
+    )
+    eval_docs = sh.filter(F.col("doc_id") % 97 != 0)
+    sizes = eval_docs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    shared = (
+        eval_docs.join(bench, "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        sizes.join(shared, "doc_id")
+        .select(
+            "doc_id",
+            "n_sh",
+            "n_shared",
+            F.expr("(n_shared * 1000000) div n_sh").alias("overlap_x1e6"),
+            (F.expr("(n_shared * 1000000) div n_sh") >= 500000).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "txt_packing_stats",
+    oracle="""
+WITH m AS (
+  SELECT source,
+         len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+')) AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT source, n_tok,
+         greatest(1, (n_tok + 511) // 512) AS n_chunks
+  FROM m
+)
+SELECT source,
+       count(*) AS n_docs,
+       cast(sum(n_tok) AS bigint) AS total_tokens,
+       cast(sum(n_chunks) AS bigint) AS total_seqs,
+       cast(sum(n_chunks * 512 - n_tok) AS bigint) AS pad_waste_tokens,
+       max(n_tok) AS max_doc_tokens
+FROM c
+GROUP BY source
+ORDER BY source
+""",
+    doc="Sequence-packing budget stats for batch prep: per-source token "
+    "totals under a 512-token context (BPE-ish pretokenizer counts), "
+    "number of sequences under naive one-doc-per-sequence packing, and "
+    "the padding waste that motivates a real packer. Pure per-row "
+    "arithmetic + one tiny rollup — the profiling pass that sizes a "
+    "training run before any shuffle-heavy packing job.",
+    tags=("text", "tokens", "packing"),
+)
+def txt_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6_spark.operators.text import bpe_ish_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = bpe_ish_token_count(F.col("text")).cast("long")
+    c = docs.select("source", n_tok.alias("n_tok")).withColumn(
+        "n_chunks", F.greatest(F.lit(1).cast("long"), F.expr("(n_tok + 511) div 512"))
+    )
+    return (
+        c.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("n_chunks").alias("total_seqs"),
+            F.sum(F.col("n_chunks") * 512 - F.col("n_tok")).alias("pad_waste_tokens"),
+            F.max("n_tok").alias("max_doc_tokens"),
+        )
+        .orderBy("source")
+    )
