@@ -1171,3 +1171,151 @@ def txt_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "txt_packed_assignment",
+    oracle="""
+WITH m AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+')) AS n_tok
+  FROM documents
+),
+offs AS (
+  SELECT doc_id, source, n_tok,
+         coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS start_off
+  FROM m
+),
+assigned AS (
+  SELECT source, doc_id, n_tok, cast(start_off // 512 AS bigint) AS seq_id FROM offs
+)
+SELECT source,
+       count(DISTINCT seq_id) AS n_seqs,
+       cast(sum(n_tok) AS bigint) AS total_tokens,
+       count(*) AS n_docs,
+       max(seq_id) AS max_seq_id
+FROM assigned
+GROUP BY source
+ORDER BY source
+""",
+    doc="Contiguous sequence packing (token-stream layout): docs stream "
+    "in doc_id order per source, each starts at the running token "
+    "offset, and its sequence id is start_offset // 512 — the "
+    "document-boundary-agnostic packing LLM pretraining uses (docs "
+    "straddle sequence boundaries; nothing is padded). One window "
+    "cumsum per source partition, no shuffle beyond the partitioning "
+    "that a packed write needs anyway. Complements txt_packing_stats "
+    "(the one-doc-per-sequence padded variant).",
+    tags=("text", "tokens", "packing", "window"),
+)
+def txt_packed_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from p6_spark.operators.text import bpe_ish_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = bpe_ish_token_count(F.col("text")).cast("long")
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offs = docs.select("doc_id", "source", n_tok.alias("n_tok")).withColumn(
+        "start_off", F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    )
+    assigned = offs.withColumn("seq_id", F.expr("start_off div 512"))
+    return (
+        assigned.groupBy("source")
+        .agg(
+            F.countDistinct("seq_id").alias("n_seqs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("seq_id").alias("max_seq_id"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "sim_quantize_int8",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label, embedding::double[] AS v FROM embeddings
+),
+scaled AS (
+  SELECT vec_id, label, v,
+         greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) AS maxabs
+  FROM e
+),
+q AS (
+  SELECT vec_id, label, v, maxabs,
+         list_transform(v, x -> cast(round(x * 127.0 / maxabs, 0) AS bigint)) AS qv
+  FROM scaled
+),
+err AS (
+  SELECT vec_id, label,
+         cast(list_sum(list_transform(qv, x -> x * x)) AS bigint) AS qnorm2,
+         cast(round(list_sum(
+           list_transform(generate_series(1, len(v)),
+                          i -> pow(v[i] - qv[i] * maxabs / 127.0, 2))) * 1e9, 0) AS bigint)
+           AS mse_x1e9
+  FROM q
+)
+SELECT label,
+       count(*) AS n,
+       cast(sum(qnorm2) AS bigint) AS total_qnorm2,
+       max(mse_x1e9) AS max_mse_x1e9
+FROM err
+GROUP BY label
+ORDER BY label
+""",
+    doc="Int8 scalar quantization of the embedding column — the 4x "
+    "memory/IO cut an ANN index applies before sharding. Per-vector "
+    "max-abs scale, symmetric round-to-int8, plus the reconstruction "
+    "MSE that quantization-aware recall tests budget against. All "
+    "higher-order array expressions in codegen; quantized norms are "
+    "exact integers, MSE integer-scaled x1e9 after a deterministic "
+    "per-element recomputation.",
+    tags=("similarity", "quantization", "array"),
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    maxabs = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-12)
+    )
+    base = emb.select("vec_id", "label", v.alias("v"), maxabs.alias("maxabs"))
+    qv = F.transform(
+        F.col("v"), lambda x: F.round(x * 127.0 / F.col("maxabs"), 0).cast("long")
+    )
+    q = base.withColumn("qv", qv)
+    qnorm2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("qv"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    mse = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("v"),
+                F.col("qv"),
+                lambda x, qx: F.pow(x - qx * F.col("maxabs") / 127.0, F.lit(2.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        * 1e9,
+        0,
+    ).cast("long")
+    err = q.select("vec_id", "label", qnorm2.alias("qnorm2"), mse.alias("mse_x1e9"))
+    return (
+        err.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("qnorm2").alias("total_qnorm2"),
+            F.max("mse_x1e9").alias("max_mse_x1e9"),
+        )
+        .orderBy("label")
+    )
