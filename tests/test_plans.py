@@ -184,3 +184,31 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_contamination_benchmark_set_broadcasts(spark, sf_dir):
+    # the benchmark shingle set must broadcast: the corpus-side shingle
+    # stream then joins map-side and no all-corpus shuffle exists on the
+    # join path
+    df = QUERIES["dd_contamination"].build(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_packed_assignment_single_partitioning(spark, sf_dir):
+    # window cumsum and final rollup share the source partitioning; no
+    # Python anywhere
+    df = QUERIES["txt_packed_assignment"].build(spark, sf_dir)
+    plan = plan_of(df)
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_pii_scrub_zero_shuffle_scan(spark, sf_dir):
+    # redaction is a pure per-row regexp program: the only Exchange
+    # allowed is the final orderBy's range partitioning
+    df = QUERIES["txt_pii_scrub"].build(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("Exchange") <= 2  # rangepartitioning (+AQE read)
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
