@@ -45,9 +45,12 @@ HEADLINE = [
     "dd_exact_stats",
     "dd_minhash_lsh_pairs",
     "dd_hash_split",
+    "dd_contamination",
     "txt_quality",
     "txt_repetition",
     "txt_tfidf",
+    "txt_pii_scrub",
+    "txt_packed_assignment",
     "sim_cosine_topk",
 ]
 

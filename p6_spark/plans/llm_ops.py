@@ -1319,3 +1319,48 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "txt_chunking",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_TOKENS} AS t FROM documents WHERE doc_id < 200
+),
+chunked AS (
+  SELECT doc_id, len(t) AS n_tok,
+         CASE WHEN len(t) <= 128 THEN 1
+              ELSE 1 + cast(ceil((len(t) - 128) / 96.0) AS bigint) END AS n_chunks,
+         array_to_string(t[1 : least(len(t), 128)], ' ') AS first_chunk
+  FROM base
+)
+SELECT doc_id, n_tok, n_chunks,
+       md5(first_chunk) AS first_chunk_md5,
+       length(first_chunk) AS first_chunk_chars
+FROM chunked
+ORDER BY doc_id
+""",
+    doc="Sliding-window document chunking (128-token windows, 32-token "
+    "overlap = 96-token stride) — the RAG/pretraining segmentation pass. "
+    "Emits per-doc chunk counts and a content hash of the first chunk so "
+    "the window arithmetic AND the chunk text itself are value-checked. "
+    "Pure array slicing in codegen; the full chunk table is the same "
+    "expressions under an explode (chunk-level rows omitted here to keep "
+    "the certified result compact).",
+    tags=("text", "chunking", "rag"),
+)
+def txt_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    t = tokens(F.col("text"))
+    n_tok = F.size(t).cast("long")
+    n_chunks = F.when(n_tok <= 128, F.lit(1).cast("long")).otherwise(
+        1 + F.ceil((n_tok - 128) / F.lit(96.0)).cast("long")
+    )
+    first_chunk = F.array_join(F.slice(t, 1, 128), " ")
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        n_chunks.alias("n_chunks"),
+        F.md5(first_chunk).alias("first_chunk_md5"),
+        F.length(first_chunk).cast("long").alias("first_chunk_chars"),
+    ).orderBy("doc_id")
