@@ -123,17 +123,29 @@ def simhash16(text: Column) -> Column:
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Array of n-word shingles (space-joined), order-preserving."""
-    toks = tokens(text)
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+    """Array of n-word shingles (space-joined), order-preserving.
+
+    The token array is bound ONCE via a single-element-array lambda
+    (``transform(array(toks), t -> ...)[0]``) so each shingle's
+    ``element_at`` calls index an already-materialized array. Without the
+    binding, Catalyst inlines the tokenize (trim+split+filter) into every
+    lambda occurrence — ~3n regex splits per document instead of one —
+    which turns any plan that re-evaluates this expression per exploded
+    row into a multi-minute single-task stall.
+    """
+
+    def shingle(toks: Column) -> Column:
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+                ),
             ),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+    return F.element_at(F.transform(F.array(tokens(text)), shingle), 1)
 
 
 def ngram_jaccard_pairs(

@@ -1094,22 +1094,33 @@ ORDER BY s.doc_id
 )
 def dd_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(dd.word_shingles(F.col("text"), 3))).alias("s"),
+    # One shingling pass total: n_sh rides through the explode so the
+    # per-doc size needs no second scan, and because the final result is
+    # an inner join (docs with zero benchmark overlap are absent in the
+    # oracle too) the count-shared aggregate IS the output — no
+    # sizes-vs-shared doc_id shuffle join. The %97 filters reference only
+    # doc_id, so Catalyst pushes them below the Generate and the regexp
+    # shingling runs once per document across the two branches.
+    # Materialize the shingle array in its own projection and keep n_sh
+    # below the Generate: writing size(arr) next to explode(arr) in one
+    # select puts the size in the Project ABOVE the Generate, where the
+    # whole shingle expression is re-evaluated once per exploded row.
+    sh = (
+        docs.select(
+            "doc_id",
+            F.array_distinct(dd.word_shingles(F.col("text"), 3)).alias("arr"),
+        )
+        .select("doc_id", F.size("arr").cast("long").alias("n_sh"), "arr")
+        .select("doc_id", "n_sh", F.explode("arr").alias("s"))
     )
     bench = F.broadcast(
         sh.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
     )
-    eval_docs = sh.filter(F.col("doc_id") % 97 != 0)
-    sizes = eval_docs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    shared = (
-        eval_docs.join(bench, "s")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
     return (
-        sizes.join(shared, "doc_id")
+        sh.filter(F.col("doc_id") % 97 != 0)
+        .join(bench, "s")
+        .groupBy("doc_id", "n_sh")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
         .select(
             "doc_id",
             "n_sh",
