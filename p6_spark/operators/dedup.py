@@ -107,19 +107,25 @@ def simhash16(text: Column) -> Column:
     """16-bit SimHash over distinct tokens: bit b of the signature is set
     iff sum over tokens of sign((md5_int(token) >> b) & 1) is positive.
     Pure integer expressions — a linear scan, no pairwise work."""
-    toks = F.array_distinct(tokens(text))
-    hashes = F.transform(toks, lambda t: md5_int(t))
-
     def vote_fn(bit: int):
         return lambda acc, h: acc + F.when(
             F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
         ).otherwise(-1)
 
-    sig = F.lit(0).cast("long")
-    for b in range(16):
-        vote = F.aggregate(hashes, F.lit(0).cast("long"), vote_fn(b))
-        sig = sig + F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-    return sig
+    # Bind the md5 array once (transform(array(...), hs -> ...)[0]): the
+    # 16 per-bit folds below each reference the bound lambda var instead
+    # of re-tokenizing and re-hashing every token 16 times.
+    def fold_bits(hashes: Column) -> Column:
+        sig = F.lit(0).cast("long")
+        for b in range(16):
+            vote = F.aggregate(hashes, F.lit(0).cast("long"), vote_fn(b))
+            sig = sig + F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        return sig
+
+    hashes = F.transform(F.array_distinct(tokens(text)), lambda t: md5_int(t))
+    return F.element_at(F.transform(F.array(hashes), fold_bits), 1)
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
