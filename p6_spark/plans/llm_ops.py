@@ -1375,3 +1375,272 @@ def txt_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(first_chunk).alias("first_chunk_md5"),
         F.length(first_chunk).cast("long").alias("first_chunk_chars"),
     ).orderBy("doc_id")
+
+
+@register(
+    "dd_segment_dedup",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+),
+d AS (
+  SELECT doc_id, cast(len(t) // 8 AS bigint) AS n_seg, t
+  FROM base WHERE len(t) // 8 >= 1
+),
+segs AS (
+  SELECT doc_id, n_seg,
+         unnest(list_transform(generate_series(1, cast(n_seg AS int)),
+                i -> md5(array_to_string(t[(i-1)*8+1 : (i-1)*8+8], ' ')))) AS seg
+  FROM d
+),
+cnt AS (SELECT seg, count(*) AS c FROM segs GROUP BY seg)
+SELECT s.doc_id, s.n_seg,
+       count(*) FILTER (WHERE cnt.c >= 2) AS n_dup_seg,
+       (count(*) FILTER (WHERE cnt.c >= 2) * 1000000) // s.n_seg AS dup_frac_x1e6
+FROM segs s JOIN cnt ON cnt.seg = s.seg
+GROUP BY s.doc_id, s.n_seg
+ORDER BY s.doc_id
+""",
+    doc="Duplicate-span detection a la 'Deduplicating Training Data Makes "
+    "Language Models Better' (Lee et al.), approximated with fixed "
+    "non-overlapping 8-token segments instead of a suffix array: hash "
+    "each segment, count corpus-wide occurrences, and report per-doc "
+    "duplicated-span fraction. At 100 TB the plan is two shuffles on the "
+    "16-byte segment digest (window count + per-doc rollup) — the "
+    "document text itself never shuffles.",
+    tags=("dedup", "segments", "spans"),
+)
+def dd_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def segments(toks):
+        n_seg = F.floor(F.size(toks) / F.lit(8)).cast("int")
+        return F.when(
+            n_seg >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_seg),
+                lambda i: F.md5(
+                    F.concat_ws(
+                        " ",
+                        *[
+                            F.element_at(toks, ((i - 1) * 8 + j).cast("int"))
+                            for j in range(1, 9)
+                        ],
+                    )
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    seg_arr = F.element_at(F.transform(F.array(tokens(F.col("text"))), segments), 1)
+    segs = (
+        docs.select("doc_id", seg_arr.alias("arr"))
+        .select("doc_id", F.size("arr").cast("long").alias("n_seg"), "arr")
+        .filter(F.col("n_seg") >= 1)
+        .select("doc_id", "n_seg", F.explode("arr").alias("seg"))
+    )
+    c = F.count(F.lit(1)).over(Window.partitionBy("seg"))
+    return (
+        segs.withColumn("c", c)
+        .groupBy("doc_id", "n_seg")
+        .agg(F.count(F.when(F.col("c") >= 2, 1)).alias("n_dup_seg"))
+        .select(
+            "doc_id",
+            "n_seg",
+            "n_dup_seg",
+            F.expr("(n_dup_seg * 1000000) div n_seg").alias("dup_frac_x1e6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "txt_importance_dsir",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents
+),
+hashed AS (
+  SELECT doc_id, {_SQL_MD5INT.format(x='tok')} % 4096 AS bucket FROM toks
+),
+lam AS (
+  SELECT bucket,
+         cast(floor(ln((count(*) FILTER (WHERE doc_id % 89 = 0) + 1)::double
+                       / (count(*) FILTER (WHERE doc_id % 89 <> 0) + 1))
+                    * 1000000 + 0.5) AS bigint) AS lam
+  FROM hashed GROUP BY bucket
+),
+doc_toks AS (
+  SELECT h.doc_id, h.bucket FROM hashed h WHERE h.doc_id % 89 <> 0
+)
+SELECT d.doc_id,
+       cast(count(*) AS bigint) AS n_tok,
+       cast(sum(l.lam) AS bigint) AS score,
+       cast(sum(l.lam) AS bigint) // count(*) AS score_per_tok
+FROM doc_toks d JOIN lam l ON l.bucket = d.bucket
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+""",
+    doc="DSIR-style importance weighting (Xie et al., 'Data Selection for "
+    "Language Models via Importance Resampling'): hashed unigram features "
+    "(md5 % 4096 buckets), per-bucket log-likelihood ratio between a "
+    "target set (doc_id % 89 == 0 stands in for the downstream-domain "
+    "sample) and the raw pool, and a per-document importance score as "
+    "the sum of its tokens' ratios. The bucket-weight table is at most "
+    "4096 rows regardless of corpus size, so it BROADCASTS and the "
+    "scoring pass is scan + map-side join + one doc_id rollup. Ratios "
+    "snapped to x1e6 integers (floor(x*1e6+0.5), the TF-IDF convention) "
+    "so the sum is exact integer arithmetic.",
+    tags=("text", "importance", "dsir", "sampling"),
+)
+def txt_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6_spark.operators.text import md5_int
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id",
+        F.explode(tokens(F.col("text"))).alias("tok"),
+    ).select("doc_id", (md5_int(F.col("tok")) % 4096).alias("bucket"))
+    lam = hashed.groupBy("bucket").agg(
+        F.floor(
+            F.log(
+                (F.count(F.when(F.col("doc_id") % 89 == 0, 1)) + 1).cast("double")
+                / (F.count(F.when(F.col("doc_id") % 89 != 0, 1)) + 1)
+            )
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("lam")
+    )
+    return (
+        hashed.filter(F.col("doc_id") % 89 != 0)
+        .join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("lam").alias("score"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            "score",
+            F.expr("score div n_tok").alias("score_per_tok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "txt_mixture_plan",
+    oracle="""
+WITH per_src AS (
+  SELECT source,
+         cast(count(*) AS bigint) AS n_docs,
+         cast(sum(len(regexp_extract_all(text,
+              ' ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+'))) AS bigint) AS total_tokens
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_docs, total_tokens,
+         cast(floor(pow(total_tokens::double, 0.7) + 0.5) AS bigint) AS weight
+  FROM per_src
+)
+SELECT source, n_docs, total_tokens, weight,
+       (weight * 1000000) // (SELECT cast(sum(weight) AS bigint) FROM w) AS share_x1e6,
+       (5000000 * ((weight * 1000000) // (SELECT cast(sum(weight) AS bigint) FROM w)))
+         // 1000000 AS alloc_tokens,
+       ((5000000 * ((weight * 1000000) // (SELECT cast(sum(weight) AS bigint) FROM w)))
+         // 1000000 * 1000000) // total_tokens AS epochs_x1e6
+FROM w
+ORDER BY source
+""",
+    doc="Temperature-weighted source mixture planning (the sampling-weight "
+    "pass behind multilingual/multi-source training mixes, e.g. "
+    "p ~ size^alpha with alpha=0.7 as in mT5/XLM-R): per-source BPE-ish "
+    "token totals, temperature-damped weights, normalized shares, a "
+    "1M-token budget allocation, and the implied epochs-over-source "
+    "(x1e6) that signals repetition risk. One scan + a 20-row rollup; "
+    "the normalization term is a scalar subquery over the tiny "
+    "per-source table, so at 100 TB everything after the scan is "
+    "driver-trivial. pow() snapped to integer weights (floor(x+0.5)).",
+    tags=("text", "mixture", "sampling", "planning"),
+)
+def txt_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from p6_spark.operators.text import bpe_ish_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(bpe_ish_token_count(F.col("text")).cast("long")).alias("total_tokens"),
+    )
+    w = per_src.withColumn(
+        "weight",
+        F.floor(F.pow(F.col("total_tokens").cast("double"), F.lit(0.7)) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    total_w = F.sum("weight").over(Window.partitionBy())
+    share = F.expr("(weight * 1000000) div total_w")
+    return (
+        w.withColumn("total_w", total_w)
+        .withColumn("share_x1e6", share)
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "weight",
+            "share_x1e6",
+            F.expr("(5000000 * share_x1e6) div 1000000").alias("alloc_tokens"),
+            F.expr("(((5000000 * share_x1e6) div 1000000) * 1000000) div total_tokens").alias("epochs_x1e6"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "txt_train_order",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, source, md5('shuffle42_' || cast(doc_id AS varchar)) AS order_key
+  FROM documents
+),
+top AS (
+  SELECT doc_id, source, order_key
+  FROM keyed ORDER BY order_key, doc_id LIMIT 300
+)
+SELECT row_number() OVER (ORDER BY order_key, doc_id) AS pos,
+       doc_id, source, order_key
+FROM top
+ORDER BY pos
+""",
+    doc="Deterministic training-order materialization: every document gets "
+    "a seeded md5 shuffle key, and the first 300 positions of the global "
+    "order are emitted with their rank. The order is reproducible across "
+    "engines and runs (no RNG state), and the plan is scale-safe: the "
+    "global sort is a top-k (TakeOrderedAndProject), never a "
+    "single-partition full-corpus row_number — the full ordered corpus "
+    "would be written out range-partitioned by the same key instead. "
+    "Emitting source alongside pos shows the hash-interleaving of "
+    "sources a trainer reads.",
+    tags=("text", "ordering", "shuffle", "training"),
+)
+def txt_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.concat(F.lit("shuffle42_"), F.col("doc_id").cast("string"))).alias(
+            "order_key"
+        ),
+    )
+    top = keyed.orderBy("order_key", "doc_id").limit(300)
+    pos = F.row_number().over(Window.orderBy("order_key", "doc_id"))
+    return top.select(
+        pos.alias("pos"), "doc_id", "source", "order_key"
+    ).orderBy("pos")

@@ -212,3 +212,30 @@ def test_pii_scrub_zero_shuffle_scan(spark, sf_dir):
     plan = plan_of(df)
     assert plan.count("Exchange") <= 2  # rangepartitioning (+AQE read)
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_segment_dedup_shuffles_digests_only(spark, sf_dir):
+    # segment counting is a Window over the 16-byte digest; the document
+    # text never appears above the Generate, and no Python runs
+    df = QUERIES["dd_segment_dedup"].build(spark, sf_dir)
+    plan = plan_of(df)
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_dsir_weight_table_broadcasts(spark, sf_dir):
+    # the 4096-bucket weight table must broadcast: scoring is scan +
+    # map-side join + one doc_id rollup
+    df = QUERIES["txt_importance_dsir"].build(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_train_order_is_topk_not_global_sort(spark, sf_dir):
+    # the global order must come from a top-k (TakeOrderedAndProject),
+    # never a full-corpus single-partition sort + row_number
+    df = QUERIES["txt_train_order"].build(spark, sf_dir)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
