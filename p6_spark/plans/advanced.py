@@ -1137,3 +1137,155 @@ def q_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@register(
+    "q_funnel",
+    oracle="""
+WITH staged AS (
+  SELECT user_id, ts, event_id, event_type,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+           OVER w AS seen_view
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+staged2 AS (
+  SELECT user_id, ts, event_id, event_type, seen_view,
+         max(CASE WHEN event_type = 'click' AND seen_view = 1 THEN 1 ELSE 0 END)
+           OVER w AS seen_vc
+  FROM staged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+per_user AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS did_view,
+         max(CASE WHEN event_type = 'click' AND seen_view = 1 THEN 1 ELSE 0 END) AS did_vc,
+         max(CASE WHEN event_type = 'purchase' AND seen_vc = 1 THEN 1 ELSE 0 END) AS did_vcp
+  FROM staged2 GROUP BY user_id
+)
+SELECT cast(count(*) AS bigint) AS n_users,
+       cast(sum(did_view) AS bigint) AS n_view,
+       cast(sum(did_vc) AS bigint) AS n_view_click,
+       cast(sum(did_vcp) AS bigint) AS n_view_click_purchase,
+       (cast(sum(did_vc) AS bigint) * 1000000)
+         // greatest(cast(sum(did_view) AS bigint), 1) AS conv_click_x1e6,
+       (cast(sum(did_vcp) AS bigint) * 1000000)
+         // greatest(cast(sum(did_vc) AS bigint), 1) AS conv_purchase_x1e6
+FROM per_user
+""",
+    doc="Ordered funnel analysis (view -> click -> purchase): cumulative "
+    "per-user window flags mark each stage reached IN ORDER, then one "
+    "rollup counts stage populations and integer-scaled conversion "
+    "rates. Both windows and the per-user aggregate share the user_id "
+    "hash partitioning, so the whole funnel costs ONE shuffle of the "
+    "events stream plus a scalar rollup — no self-joins, no pattern "
+    "explosion, regardless of corpus size.",
+    tags=("events", "funnel", "window"),
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    is_view = F.when(F.col("event_type") == "view", 1).otherwise(0)
+    staged = ev.withColumn("seen_view", F.max(is_view).over(w))
+    is_vc = F.when(
+        (F.col("event_type") == "click") & (F.col("seen_view") == 1), 1
+    ).otherwise(0)
+    staged2 = staged.withColumn("seen_vc", F.max(is_vc).over(w))
+    is_vcp = F.when(
+        (F.col("event_type") == "purchase") & (F.col("seen_vc") == 1), 1
+    ).otherwise(0)
+    per_user = staged2.groupBy("user_id").agg(
+        F.max(is_view).alias("did_view"),
+        F.max(is_vc).alias("did_vc"),
+        F.max(is_vcp).alias("did_vcp"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("did_view").alias("n_view"),
+        F.sum("did_vc").alias("n_view_click"),
+        F.sum("did_vcp").alias("n_view_click_purchase"),
+    ).select(
+        "n_users",
+        "n_view",
+        "n_view_click",
+        "n_view_click_purchase",
+        F.expr("(n_view_click * 1000000) div greatest(n_view, 1)").alias(
+            "conv_click_x1e6"
+        ),
+        F.expr(
+            "(n_view_click_purchase * 1000000) div greatest(n_view_click, 1)"
+        ).alias("conv_purchase_x1e6"),
+    )
+
+
+@register(
+    "q_retention_cohorts",
+    oracle="""
+WITH weekly AS (
+  SELECT DISTINCT user_id,
+         (ts::date - DATE '2024-01-01') // 7 AS week_idx
+  FROM events
+),
+cohorts AS (
+  SELECT user_id, min(week_idx) AS cohort_week FROM weekly GROUP BY user_id
+),
+joined AS (
+  SELECT c.cohort_week, w.week_idx - c.cohort_week AS offset_w, w.user_id
+  FROM weekly w JOIN cohorts c ON c.user_id = w.user_id
+  WHERE w.week_idx - c.cohort_week <= 3
+),
+sizes AS (
+  SELECT cohort_week, count(*) AS cohort_size FROM cohorts GROUP BY cohort_week
+)
+SELECT j.cohort_week, j.offset_w,
+       cast(count(DISTINCT j.user_id) AS bigint) AS n_active,
+       s.cohort_size,
+       (cast(count(DISTINCT j.user_id) AS bigint) * 1000000) // s.cohort_size
+         AS retention_x1e6
+FROM joined j JOIN sizes s ON s.cohort_week = j.cohort_week
+GROUP BY j.cohort_week, j.offset_w, s.cohort_size
+ORDER BY j.cohort_week, j.offset_w
+""",
+    doc="Weekly retention cohorts: users grouped by first-active week "
+    "(integer week index from a fixed epoch — no engine-specific "
+    "week-start rules), then distinct-user activity counted at offsets "
+    "0-3 weeks with integer-scaled retention rates. The activity "
+    "distinct, the cohort min, and the cohort join all hash on user_id "
+    "(one shuffle reused thrice under AQE exchange reuse); only the "
+    "tiny (cohort_week, offset) rollup reshuffles.",
+    tags=("events", "retention", "cohort"),
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    weekly = ev.select(
+        "user_id",
+        (F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")) / 7)
+        .cast("long")
+        .alias("week_idx"),
+    ).distinct()
+    cohorts = weekly.groupBy("user_id").agg(F.min("week_idx").alias("cohort_week"))
+    joined = (
+        weekly.join(cohorts, "user_id")
+        .withColumn("offset_w", F.col("week_idx") - F.col("cohort_week"))
+        .filter(F.col("offset_w") <= 3)
+    )
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        joined.groupBy("cohort_week", "offset_w")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "offset_w",
+            "n_active",
+            "cohort_size",
+            F.expr("(n_active * 1000000) div cohort_size").alias("retention_x1e6"),
+        )
+        .orderBy("cohort_week", "offset_w")
+    )
