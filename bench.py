@@ -46,12 +46,16 @@ HEADLINE = [
     "dd_minhash_lsh_pairs",
     "dd_hash_split",
     "dd_contamination",
+    "dd_segment_dedup",
     "txt_quality",
     "txt_repetition",
     "txt_tfidf",
     "txt_pii_scrub",
     "txt_packed_assignment",
+    "txt_importance_dsir",
+    "q_funnel",
     "sim_cosine_topk",
+    "sim_centroid_stats",
 ]
 
 

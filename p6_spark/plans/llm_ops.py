@@ -1644,3 +1644,95 @@ def txt_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         pos.alias("pos"), "doc_id", "source", "order_key"
     ).orderBy("pos")
+
+
+@register(
+    "sim_centroid_stats",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding::double[],
+                        x -> cast(round(x * 10000, 0) AS bigint)) AS qv
+  FROM embeddings
+),
+sums AS (
+  SELECT e.label, g.i AS pos,
+         cast(sum(qv[g.i]) AS bigint) AS s,
+         cast(count(*) AS bigint) AS n
+  FROM e, generate_series(1, 64) AS g(i)
+  GROUP BY e.label, g.i
+),
+means AS (SELECT label, pos, n, s // n AS m FROM sums),
+dists AS (
+  SELECT e.vec_id, e.label,
+         cast(sum((qv[m.pos] - m.m) * (qv[m.pos] - m.m)) AS bigint) AS dist2
+  FROM e JOIN means m ON m.label = e.label
+  GROUP BY e.vec_id, e.label
+),
+norms AS (
+  SELECT label, cast(sum(m * m) AS bigint) AS centroid_norm2, any_value(n) AS n
+  FROM means GROUP BY label
+)
+SELECT n.label, n.n, n.centroid_norm2,
+       cast(sum(d.dist2) AS bigint) AS total_inertia,
+       cast(sum(d.dist2) AS bigint) // n.n AS avg_inertia
+FROM dists d JOIN norms n ON n.label = d.label
+GROUP BY n.label, n.n, n.centroid_norm2
+ORDER BY n.label
+""",
+    doc="Per-label centroid statistics in fixed-point integer space — the "
+    "cluster-quality audit (inertia) behind any embedding-space "
+    "partitioning. Distributed float averaging is order-dependent, which "
+    "is exactly why sim_ivf_ann stays rows-only; here every element is "
+    "quantized x1e4 to bigint FIRST, so the centroid sums are associative "
+    "integer arithmetic and the whole result is hash-exact on any "
+    "engine/partitioning. Plan: one tiny (label,pos) aggregate, the "
+    "64x10-row mean table rebuilt as arrays and BROADCAST back, per-row "
+    "distance in codegen, one label rollup — the embedding table itself "
+    "never shuffles.",
+    tags=("similarity", "centroid", "clustering"),
+)
+def sim_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform("embedding", lambda x: F.round(x.cast("double") * 10000, 0).cast("long"))
+    e = emb.select("vec_id", "label", qv.alias("qv"))
+    sums = (
+        e.select("label", F.posexplode("qv").alias("pos0", "val"))
+        .groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    means = sums.select("label", "pos", "n", F.expr("s div n").alias("m"))
+    mean_arrs = means.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda st: st["m"]
+        ).alias("m_arr"),
+        F.sum(F.expr("m * m")).alias("centroid_norm2"),
+        F.first("n").alias("n"),
+    )
+    dists = (
+        e.join(F.broadcast(mean_arrs), "label")
+        .select(
+            "label",
+            "n",
+            "centroid_norm2",
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"), F.col("m_arr"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dist2"),
+        )
+    )
+    return (
+        dists.groupBy("label", "n", "centroid_norm2")
+        .agg(F.sum("dist2").alias("total_inertia"))
+        .select(
+            "label",
+            "n",
+            "centroid_norm2",
+            "total_inertia",
+            F.expr("total_inertia div n").alias("avg_inertia"),
+        )
+        .orderBy("label")
+    )

@@ -239,3 +239,12 @@ def test_train_order_is_topk_not_global_sort(spark, sf_dir):
     plan = plan_of(df)
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_centroid_stats_broadcasts_means(spark, sf_dir):
+    # the 10x64 mean-array table must broadcast; the embedding table
+    # itself never hash-shuffles (only the tiny posexplode agg does)
+    df = QUERIES["sim_centroid_stats"].build(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
