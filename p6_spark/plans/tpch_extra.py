@@ -546,3 +546,103 @@ def q_outlier_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q12_late_priority",
+    oracle="""
+SELECT l_returnflag,
+       cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS bigint) AS high_line_count,
+       cast(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS bigint) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    doc="TPC-H Q12 shape (reference has no shipmode column, so 'late' is "
+    "shipdate > orderdate + 60d): fact-fact equi-join with a non-equi "
+    "residual predicate, then conditional counts pivoting order priority "
+    "into high/low columns. The residual lateness predicate is evaluated "
+    "inside the join (no post-filter pass), and the two CASE sums are one "
+    "aggregate over one joined stream — map-side partials shrink it to "
+    "|returnflag| rows before the final shuffle.",
+    tags=("join", "agg", "conditional"),
+)
+def q12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+SELECT s_name, cast(count(*) AS bigint) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+""",
+    doc="TPC-H Q21 shape ('suppliers who kept orders waiting'; lateness = "
+    "shipdate > orderdate + 60d since the reference schema has no "
+    "commit/receipt dates): the textbook form is a correlated EXISTS plus "
+    "a correlated NOT EXISTS over the same fact table — three lineitem "
+    "scans and two correlated probes. This plan folds both subqueries "
+    "into ONE per-order aggregate (distinct-supplier count and distinct-"
+    "late-supplier count), computed from the same orderkey-partitioned "
+    "join output the main branch uses: EXISTS(other supplier) becomes "
+    "n_supp >= 2, NOT EXISTS(other late supplier) becomes n_late_supp = 1 "
+    "for a row that is itself late. One lineitem scan feeds both "
+    "branches; every post-join operator reuses the orderkey partitioning, "
+    "and supplier is broadcast.",
+    tags=("join", "subquery", "agg", "anti"),
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders_f = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    sup = _t(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    li_o = li.join(orders_f, li.l_orderkey == orders_f.o_orderkey).withColumn(
+        "is_late", late
+    )
+    per_order = li_o.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    late_lines = li_o.filter(F.col("is_late")).select("l_orderkey", "l_suppkey")
+    return (
+        late_lines.join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+    )
