@@ -35,20 +35,35 @@ def default_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """The ONE nanos->timestamp conversion for the events table — both the
+    batch loader and the streaming reader (streaming/events.py) funnel
+    through here so the two paths cannot drift.
+
+    events.parquet stores TIMESTAMP(NANOS). Readers surface it one of two
+    ways depending on reader path / legacy conf:
+      * ``timestamp_ntz`` — already converted (nanos truncated to micros,
+        matching DuckDB's ns->us truncation): nothing to do.
+      * ``bigint`` — raw nanoseconds (legacy ``nanosAsLong`` path): integer
+        floor-divide to micros (no double precision loss).
+    The streaming schema requests TimestampNTZType explicitly, so a bigint
+    ``ts`` can only mean raw nanos — never an already-scaled long.
+    """
+    if dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which the vectorized
-        # parquet reader rejects. Read nanos as long and floor-divide to
-        # microseconds (integer div — no double precision loss), matching
-        # DuckDB's ns->us truncation so oracle comparison is exact.
+        # Legacy fallback conf for readers that reject TIMESTAMP(NANOS);
+        # on Spark 4.1+ the scan yields timestamp_ntz directly and the
+        # conf + bigint branch in normalize_event_ts are no-ops.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
-            from pyspark.sql import functions as F
-
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        return normalize_event_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
 
 

@@ -23,7 +23,13 @@ from pyspark.sql import types as T
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),  # TIMESTAMP(NANOS) read as long
+        # TIMESTAMP(NANOS) — request TimestampNTZType so the source does the
+        # nanos->micros truncation itself, IDENTICAL to the batch scan's
+        # inferred dtype. (Requesting LongType here used to yield micros,
+        # which a second div-1000 then collapsed into 1970 — the round-2
+        # streaming-parity failure. tests/test_streaming.py pins
+        # stream max(ts) == batch max(ts) against any recurrence.)
+        T.StructField("ts", T.TimestampNTZType(), True),
         T.StructField("user_id", T.LongType(), True),
         T.StructField("event_type", T.StringType(), True),
         T.StructField("value", T.DoubleType(), True),
@@ -33,9 +39,11 @@ EVENTS_SCHEMA = T.StructType(
 
 
 def read_events_stream(spark, sf_dir: str) -> DataFrame:
-    """Streaming scan of the events parquet (nanos -> timestamp, same
-    conversion as the batch loader)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """Streaming scan of the events parquet. Timestamp conversion is the
+    batch loader's normalize_event_ts — ONE shared helper, so the batch
+    and stream paths cannot drift."""
+    from p6_spark.sources.tables import normalize_event_ts
+
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .format("parquet")
@@ -43,7 +51,10 @@ def read_events_stream(spark, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Watermarks require TIMESTAMP (an instant), not TIMESTAMP_NTZ. The
+    # session timezone is pinned UTC (p6_spark/session.py), so this cast is
+    # wall-clock-exact against the batch loader's ntz column.
+    return normalize_event_ts(raw).withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:

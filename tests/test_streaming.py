@@ -17,6 +17,33 @@ from p6_spark.streaming.events import (
 )
 
 
+def test_stream_ts_equals_batch_ts(spark, sf_dir):
+    # Regression pin for the round-2 double-division bug: the streaming
+    # source must surface the SAME event-time instants (and dtype) as the
+    # batch loader — both funnel through sources.tables.normalize_event_ts.
+    stream = read_events_stream(spark, sf_dir)
+    run_to_memory(
+        stream.agg(
+            F.max("ts").alias("mx"), F.min("ts").alias("mn"), F.count(F.lit(1)).alias("n")
+        ),
+        "stream_ts_bounds",
+        mode="complete",
+    )
+    got = spark.sql("select * from stream_ts_bounds").collect()[0]
+    ev = load_table(spark, sf_dir, "events")
+    want = ev.agg(
+        F.max("ts").alias("mx"), F.min("ts").alias("mn"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    assert got["mx"] == want["mx"]
+    assert got["mn"] == want["mn"]
+    assert got["n"] == want["n"]
+    # batch stays ntz (DuckDB-oracle comparable); stream casts to TIMESTAMP
+    # for watermark support — under the UTC session tz the instants (and
+    # collected datetimes, asserted above) are identical.
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+    assert dict(ev.dtypes)["ts"] == "timestamp_ntz"
+
+
 def test_stream_tumbling_equals_batch(spark, sf_dir):
     stream = tumbling_counts(read_events_stream(spark, sf_dir))
     run_to_memory(stream, "stream_tumbling")
