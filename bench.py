@@ -65,6 +65,12 @@ def main() -> None:
     spark = get_spark("p6_spark_bench")
     qs = get_queries()
     names = [n for n in HEADLINE if n in qs]
+    # Optional comma-separated subset for local iteration / regression
+    # bisection (e.g. SPARK_GRAFT_BENCH_QUERIES=q01_pricing_summary,q06_...)
+    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if only:
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        names = [n for n in names if n in keep]
 
     # Warmup: run every headline query once (untimed) so JVM startup +
     # WholeStageCodegen (Janino) compilation isn't billed to the timed
@@ -78,13 +84,18 @@ def main() -> None:
         except Exception:
             pass
 
-    # Two timed runs per query, report the min — the standard steady-
+    # Three timed runs per query, report the min — the standard steady-
     # state measurement (GC pauses and scheduler jitter inflate any
-    # single run; the min is the query's actual cost).
+    # single run; the min is the query's actual cost). Round 2's bench
+    # showed min-of-2 is not enough insurance when the machine is busy:
+    # one GC pause per pair inflated every query ~2x. A driver-side
+    # System.gc() between queries drains accumulated garbage so each
+    # query starts from the same heap state.
     timings: dict[str, float] = {}
     for name in names:
+        spark._jvm.System.gc()
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
