@@ -97,6 +97,156 @@ def train_centroids(
     return centroids
 
 
+# ---------------------------------------------------------------------------
+# Fixed-point (integer) IVF: the oracle-checkable variant.
+#
+# Distributed float averaging is summation-order-dependent, so the float
+# k-means above can never be bit-identical to a replay in another engine.
+# This variant quantizes every element x1e4 to bigint FIRST (the
+# sim_centroid_stats trick): seeds, Lloyd assignment, centroid updates,
+# probe selection, and the final re-rank are all associative integer
+# arithmetic — hash-exact under any partitioning AND replayable in DuckDB
+# SQL (see the sim_ivf_ann oracle in plans/llm_ops.py). Ranking is integer
+# squared L2 (classic IVF metric); ties break on the smaller cid / match_id.
+# ---------------------------------------------------------------------------
+
+QUANT_SCALE = 10_000
+
+
+def quantize(vec: Column) -> Column:
+    """array<float> -> array<bigint>, elementwise round(x * 1e4)."""
+    return F.transform(vec, lambda x: F.round(x.cast("double") * QUANT_SCALE, 0).cast("long"))
+
+
+def _sq_dist_long(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _trunc_div(s: int, n: int) -> int:
+    """Truncate-toward-zero integer division — Spark `div` and DuckDB `//`
+    semantics (Python's // floors, which differs on negatives)."""
+    q = abs(s) // n
+    return -q if s < 0 else q
+
+
+def _centroid_array_long(centroids: list[list[int]]) -> Column:
+    return F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cid"),
+                F.array(*[F.lit(int(x)).cast("long") for x in vec]).alias("cvec"),
+            )
+            for cid, vec in enumerate(centroids)
+        ]
+    )
+
+
+def _assign_fixed(df: DataFrame, qv_col: str, centroids: list[list[int]]) -> DataFrame:
+    """Add `cid` = argmin_c ||qv - c||^2, ties to the smaller cid (the fold
+    scans cids in order and only replaces on strictly smaller distance).
+    Pure integer column expressions — stays inside codegen."""
+    carr = _centroid_array_long(centroids)
+    best = F.aggregate(
+        carr,
+        F.struct(F.lit(2**62).cast("long").alias("d"), F.lit(-1).alias("cid")),
+        lambda acc, c: F.when(
+            _sq_dist_long(F.col(qv_col), c["cvec"]) < acc["d"],
+            F.struct(
+                _sq_dist_long(F.col(qv_col), c["cvec"]).alias("d"),
+                c["cid"].alias("cid"),
+            ),
+        ).otherwise(acc),
+    )
+    return df.withColumn("cid", best["cid"])
+
+
+def train_centroids_fixed(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[int]]:
+    """Deterministic integer k-means. Init = the k corpus vectors with the
+    smallest (md5_int(id), id); each Lloyd round assigns (codegen argmin)
+    and recomputes centroids as trunc-div means of the quantized vectors.
+    Only k*dim integers ever reach the driver. Empty clusters keep their
+    previous centroid."""
+    q = corpus.select(F.col(id_col).alias("_id"), quantize(F.col(vec_col)).alias("qv"))
+    seeds = q.orderBy(md5_int(F.col("_id")), F.col("_id")).limit(k).collect()
+    centroids = [[int(x) for x in r["qv"]] for r in seeds]
+    for _ in range(iters):
+        assigned = _assign_fixed(q.select("qv"), "qv", centroids)
+        sums = (
+            assigned.select("cid", F.posexplode("qv").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, int]] = {}
+        for r in sums:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = _trunc_div(r["s"], r["n"])
+        centroids = [
+            [by_cid[c][p] for p in sorted(by_cid[c])] if c in by_cid else centroids[c]
+            for c in range(k)
+        ]
+    return centroids
+
+
+def ivf_topk_fixed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_centroids: int = 8,
+    iters: int = 2,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Integer-exact IVF ANN top-k: probe the n_probe nearest centroid
+    lists per query, exact integer-L2 re-rank inside the probed lists.
+    Every emitted value (dist2, rnk) is a bigint/int — hash-exact across
+    engines, which is what lets sim_ivf_ann carry a full DuckDB oracle."""
+    model = train_centroids_fixed(
+        corpus, k=num_centroids, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    indexed = _assign_fixed(
+        corpus.select(
+            F.col(id_col).alias("match_id"), quantize(F.col(vec_col)).alias("mqv")
+        ),
+        "mqv",
+        model,
+    )
+    carr = _centroid_array_long(model)
+    dists = F.transform(
+        carr,
+        lambda c: F.struct(
+            _sq_dist_long(F.col("qqv"), c["cvec"]).alias("d"), c["cid"].alias("cid")
+        ),
+    )
+    probes = F.slice(F.array_sort(dists), 1, n_probe)
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qqv")
+        ).withColumn("cid", F.explode(F.transform(probes, lambda p: p["cid"])))
+    )
+    scored = (
+        indexed.join(q, "cid")
+        .filter(F.col("match_id") != F.col("query_id"))
+        .select("query_id", "match_id", _sq_dist_long(F.col("qqv"), F.col("mqv")).alias("dist2"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("dist2"), F.asc("match_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -495,25 +495,130 @@ def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_ivf_ann",
-    # Deliberately rows-only: the Lloyd rounds take per-centroid MEANS via
-    # distributed avg(), whose float summation order is partition-dependent
-    # — replaying them in DuckDB cannot be bit-identical, and a
-    # boundary-case assignment flip would cascade. The deterministic parts
-    # that CAN be oracle-checked are (via sim_lsh_ann and sim_cosine_topk);
-    # IVF recall/determinism-within-Spark is pinned in tests.
-    oracle=None,
-    doc="IVF ANN top-k (operators/ivf.py): deterministic k-means "
-    "centroids, codegen argmin assignment, n_probe nearest lists per "
-    "query, exact cosine re-rank inside probed lists — touches "
-    "n_probe/k of the corpus per query instead of all of it.",
+    # Fully oracle-checked since round 3: the Lloyd iterations run in
+    # fixed-point integer space (quantize x1e4 to bigint BEFORE any mean;
+    # trunc-div centroid updates — the sim_centroid_stats trick), so every
+    # k-means step is associative integer arithmetic and DuckDB replays the
+    # whole build+search below: same seeds (md5 ordering), two unrolled
+    # Lloyd rounds, same probe selection, same integer-L2 re-rank.
+    oracle="""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding::double[],
+                        x -> cast(round(x * 10000, 0) AS bigint)) AS qv
+  FROM embeddings
+),
+seeds AS (
+  SELECT cid, qv FROM (
+    SELECT qv,
+           row_number() OVER (
+             ORDER BY ('0x' || substr(md5(cast(vec_id AS varchar)), 1, 8))::bigint,
+                      vec_id) - 1 AS cid
+    FROM e
+  ) WHERE cid < 8
+),
+el AS (
+  SELECT e.vec_id, g.i AS pos, qv[g.i] AS v
+  FROM e, generate_series(1, 64) AS g(i)
+),
+c0 AS (
+  SELECT cid, g.i AS pos, qv[g.i] AS m
+  FROM seeds, generate_series(1, 64) AS g(i)
+),
+d1 AS (
+  SELECT el.vec_id, c.cid, sum((el.v - c.m) * (el.v - c.m)) AS d
+  FROM el JOIN c0 c ON c.pos = el.pos
+  GROUP BY el.vec_id, c.cid
+),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM d1
+  ) WHERE rn = 1
+),
+u1 AS (
+  SELECT a1.cid, el.pos, cast(sum(el.v) AS bigint) AS s, count(*) AS n
+  FROM a1 JOIN el ON el.vec_id = a1.vec_id
+  GROUP BY a1.cid, el.pos
+),
+c1 AS (
+  SELECT c0.cid, c0.pos, coalesce(u1.s // u1.n, c0.m) AS m
+  FROM c0 LEFT JOIN u1 ON u1.cid = c0.cid AND u1.pos = c0.pos
+),
+d2 AS (
+  SELECT el.vec_id, c.cid, sum((el.v - c.m) * (el.v - c.m)) AS d
+  FROM el JOIN c1 c ON c.pos = el.pos
+  GROUP BY el.vec_id, c.cid
+),
+a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM d2
+  ) WHERE rn = 1
+),
+u2 AS (
+  SELECT a2.cid, el.pos, cast(sum(el.v) AS bigint) AS s, count(*) AS n
+  FROM a2 JOIN el ON el.vec_id = a2.vec_id
+  GROUP BY a2.cid, el.pos
+),
+c2 AS (
+  SELECT c1.cid, c1.pos, coalesce(u2.s // u2.n, c1.m) AS m
+  FROM c1 LEFT JOIN u2 ON u2.cid = c1.cid AND u2.pos = c1.pos
+),
+df AS (
+  SELECT el.vec_id, c.cid, sum((el.v - c.m) * (el.v - c.m)) AS d
+  FROM el JOIN c2 c ON c.pos = el.pos
+  GROUP BY el.vec_id, c.cid
+),
+af AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM df
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT vec_id AS query_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM df WHERE vec_id < 3
+  ) WHERE rn <= 2
+),
+cand AS (
+  SELECT p.query_id, af.vec_id AS match_id
+  FROM probes p JOIN af ON af.cid = p.cid
+  WHERE af.vec_id <> p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.match_id,
+         cast(sum((eq.v - em.v) * (eq.v - em.v)) AS bigint) AS dist2
+  FROM cand c
+  JOIN el eq ON eq.vec_id = c.query_id
+  JOIN el em ON em.vec_id = c.match_id AND em.pos = eq.pos
+  GROUP BY c.query_id, c.match_id
+)
+SELECT query_id, match_id, dist2, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist2, match_id) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+ORDER BY query_id, rnk
+""",
+    doc="IVF ANN top-k in fixed-point integer space (operators/ivf.py "
+    "ivf_topk_fixed): deterministic integer k-means (md5-ordered seeds, "
+    "trunc-div Lloyd means over x1e4-quantized bigints), codegen argmin "
+    "assignment, n_probe nearest lists per query, exact integer-L2 "
+    "re-rank inside probed lists — touches n_probe/k of the corpus per "
+    "query instead of all of it. Only the k x dim integer model reaches "
+    "the driver; assignment/search never shuffle the corpus beyond the "
+    "cid equi-join. The float-cosine variant (ivf_topk) remains for "
+    "recall-vs-bruteforce testing.",
     tags=("similarity", "ivf", "iterative"),
 )
 def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from p6_spark.operators.ivf import ivf_topk
+    from p6_spark.operators.ivf import ivf_topk_fixed
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3)
-    return ivf_topk(emb, queries, k=5, num_centroids=8, n_probe=2)
+    return ivf_topk_fixed(emb, queries, k=5, num_centroids=8, iters=2, n_probe=2)
 
 
 @register(

@@ -70,6 +70,68 @@ def test_ivf_training_is_deterministic(spark, sf_dir):
     assert m1 == m2
 
 
+def test_ivf_fixed_training_integer_and_deterministic(spark, sf_dir):
+    from p6_spark.operators.ivf import train_centroids_fixed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    m1 = train_centroids_fixed(emb, k=4, iters=2)
+    m2 = train_centroids_fixed(emb, k=4, iters=2)
+    assert m1 == m2
+    assert all(isinstance(x, int) for vec in m1 for x in vec)
+
+
+def test_ivf_fixed_recall_and_ranking(spark, sf_dir):
+    from p6_spark.operators.ivf import ivf_topk_fixed, quantize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    ann = ivf_topk_fixed(emb, queries, k=5, num_centroids=8, iters=2, n_probe=3).collect()
+    # per query: exactly ranked by ascending integer L2, no self-matches
+    by_q = {}
+    for r in ann:
+        assert r["match_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append((r["rnk"], r["dist2"]))
+    assert len(by_q) == 10
+    for q, rows in by_q.items():
+        rows.sort()
+        assert [rn for rn, _ in rows] == list(range(1, len(rows) + 1))
+        dists = [d for _, d in rows]
+        assert dists == sorted(dists)
+    # recall vs exact integer-L2 brute force (quantized, so comparable)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), quantize(F.col("embedding")).alias("qqv")
+    )
+    c = emb.select(F.col("vec_id").alias("match_id"), quantize(F.col("embedding")).alias("mqv"))
+    d2 = F.aggregate(
+        F.zip_with("qqv", "mqv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    from pyspark.sql.window import Window as W
+
+    exact = (
+        q.crossJoin(c)
+        .filter(F.col("match_id") != F.col("query_id"))
+        .select("query_id", "match_id", d2.alias("dist2"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.asc("dist2"), F.asc("match_id"))
+            ),
+        )
+        .filter(F.col("rnk") <= 5)
+        .collect()
+    )
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["match_id"])
+    hit = total = 0
+    for r in ann:
+        total += 1
+        hit += r["match_id"] in exact_sets[r["query_id"]]
+    assert hit / total > 0.4
+
+
 def test_dedup_exact_keeps_min_id(spark):
     from p6_spark.operators.dedup import dedup_exact
 
