@@ -73,3 +73,46 @@ def test_audit_excel_cli_table(workbook_dir, capsys, spark):
     assert rc == 0
     out = capsys.readouterr().out
     assert "sheet" in out and "classification" in out
+
+
+def test_download_mocks_network(tmp_path, capsys):
+    """S5 download path without network, mirroring reference
+    tests/test_download_mock.py:14-26: the latest-release lookup resolves
+    the tag, the asset URL is fetched, and hp.json is written."""
+    from unittest.mock import Mock, patch
+
+    calls = []
+
+    def fake_get(url, *args, **kwargs):
+        calls.append(url)
+        if url.endswith("/releases/latest"):
+            return Mock(status_code=200, json=lambda: {"tag_name": "vX"},
+                        raise_for_status=lambda: None)
+        return Mock(status_code=200, content=b"{}", raise_for_status=lambda: None)
+
+    with patch("requests.get", side_effect=fake_get):
+        rc = main(["download", "-o", str(tmp_path)])
+    assert rc == 0
+    assert (tmp_path / "hp.json").read_bytes() == b"{}"
+    assert calls[0].endswith("/releases/latest")
+    assert calls[1].endswith("/download/vX/hp.json")
+    assert "Downloaded vX" in capsys.readouterr().out
+
+
+def test_download_tag_v_prefixing(tmp_path, capsys):
+    """An explicit --tag skips the release lookup and is v-prefixed
+    (reference src/P6/__main__.py tag handling)."""
+    from unittest.mock import Mock, patch
+
+    calls = []
+
+    def fake_get(url, *args, **kwargs):
+        calls.append(url)
+        return Mock(status_code=200, content=b"{}", raise_for_status=lambda: None)
+
+    with patch("requests.get", side_effect=fake_get):
+        rc = main(["download", "--tag", "2024-04-26", "-o", str(tmp_path)])
+    assert rc == 0
+    assert len(calls) == 1
+    assert calls[0].endswith("/download/v2024-04-26/hp.json")
+    assert (tmp_path / "hp.json").exists()

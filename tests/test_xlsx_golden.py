@@ -82,6 +82,49 @@ def test_sydney_workbook_golden(spark):
     assert pkt["subject"]["id"] == "1"
 
 
+def test_sydney_packet_byte_golden(spark, tmp_path):
+    """Whole-packet byte-level golden for Sydney patient '1'
+    (tests/fixtures/sydney_packet_1.golden.json), generated once and
+    reviewed field-by-field against the reference's construction:
+
+    - camelCase protobuf-JSON field names, proto-omitted defaults
+      (MessageToJson shape; reference src/P6/__main__.py:200-212)
+    - expression is value-only '16:g.16177614C>T': Expression.syntax is a
+      STRING proto field, so the reference's enum lookup
+      (getattr(type(expr), 'HGVS', None)) returns None and syntax is never
+      set (src/P6/genotype.py:357-375); chr prefix stripped by
+      _normalize_g_expression (genotype.py:260-270)
+    - allelicState {GENO:0000135, heterozygous}: normalized zygosity term +
+      GENO code table (genotype.py:57-62,287-289)
+    - geneContext.symbol from the gene_symbol column (genotype.py:293-296)
+    - interpretation id '{patient}-interpretation-{i}', COMPLETED /
+      CONTRIBUTORY statuses (mapper.py:845-858)
+    - phenotypicFeatures carry only type.id (no label; excluded only when
+      status is falsy) (mapper.py:828-841)
+    - no metaData block: the reference mapper never populates one
+    """
+    tables = load_workbook(spark, SYDNEY)
+    res = apply_mapping(spark, tables)
+    import json
+
+    got = json.loads(
+        res.packets.filter("id = '1'").toJSON().collect()[0]
+    )
+    golden_path = os.path.join(os.path.dirname(__file__), "fixtures", "sydney_packet_1.golden.json")
+    with open(golden_path) as f:
+        golden_text = f.read()
+    # byte-level: the emitted document re-serialized with the fixture's
+    # formatting must reproduce the fixture exactly
+    assert json.dumps(got, indent=2) + "\n" == golden_text
+    # and through the real per-patient file sink (reference CLI shape)
+    from p6_spark.operators.packet import write_packet_files
+
+    n = write_packet_files(res.packets.filter("id = '1'"), str(tmp_path / "pkts"))
+    assert n == 1
+    with open(tmp_path / "pkts" / "phenopacket_0.json") as f:
+        assert json.load(f) == json.loads(golden_text)
+
+
 def test_phenocopy_workbook_golden(spark):
     tables = load_workbook(spark, PHENOCOPY)
     res = apply_mapping(spark, tables)
