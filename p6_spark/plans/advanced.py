@@ -1289,3 +1289,131 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "offset_w")
     )
+
+
+@register(
+    "q_session_window_events",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*) AS n_events,
+       cast(round(sum(cast(cast(value AS varchar) AS decimal(38,12))), 4) AS double) AS total_value
+FROM sessions
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""",
+    doc="Native F.session_window in batch form — the EXACT expression the "
+    "streaming session operator (streaming/events.py session_window_stats) "
+    "groups by, so the oracle certifies Spark's session-merge semantics "
+    "(session_end = last event + gap; sub-second gaps compared in "
+    "microseconds) and the stream-subset pytest ties the streaming half "
+    "to this query. Oracle replays sessions as lag-gap islands. One "
+    "user_id shuffle; session state in streaming is per-open-session.",
+    tags=("window", "sessionize", "streaming-parity"),
+)
+def q_session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.col("win.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "q_user_event_totals",
+    oracle="""
+SELECT user_id,
+       count(*) AS n_events,
+       cast(round(sum(cast(cast(coalesce(value, 0) AS varchar) AS decimal(38,12))), 4) AS double) AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+    doc="Per-user running-total batch twin of the stateful streaming "
+    "operators (applyInPandasWithState / transformWithStateInPandas in "
+    "streaming/events.py): the final state they converge to IS this "
+    "aggregate, pinned here against the SQL oracle while the pytest "
+    "stream-vs-batch tests pin the streams against the same expression. "
+    "Map-side partial aggregation; one user_id shuffle.",
+    tags=("agg", "streaming-parity"),
+)
+def q_user_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.coalesce(F.col("value"), F.lit(0.0))).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q_view_purchase_join",
+    oracle="""
+SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id
+FROM events p JOIN events v
+  ON v.user_id = p.user_id
+ AND v.ts <= p.ts
+ AND v.ts >= p.ts - INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+ORDER BY p.user_id, purchase_id, view_id
+""",
+    doc="Batch twin of the watermarked stream-stream join "
+    "(streaming/events.py view_purchase_join): every purchase matched to "
+    "the same user's views in the preceding hour. Same-table self-join "
+    "shuffles on user_id once per side with the event-time band as a "
+    "post-join filter; the streaming version bounds its state by exactly "
+    "this band. The pytest stream test asserts set-equality against this "
+    "shape.",
+    tags=("join", "range-join", "streaming-parity"),
+)
+def q_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return (
+        p.join(
+            v,
+            (F.col("user_id") == F.col("v_user"))
+            & (F.col("view_ts") <= F.col("purchase_ts"))
+            & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 hour")),
+        )
+        .select("user_id", "purchase_id", "view_id")
+        .orderBy("user_id", "purchase_id", "view_id")
+    )

@@ -77,6 +77,36 @@ def test_stream_tumbling_equals_batch(spark, sf_dir):
     assert all(ws >= horizon for ws, _ in missing)
 
 
+def test_stream_sliding_subset_of_batch(spark, sf_dir):
+    from p6_spark.streaming.events import sliding_user_activity
+
+    stream = sliding_user_activity(read_events_stream(spark, sf_dir))
+    run_to_memory(stream, "stream_sliding")
+    got = {
+        (r["window_start"], r["user_id"]): r["n_events"]
+        for r in spark.sql("select * from stream_sliding").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "user_id", "n_events")
+        .collect()
+    )
+    want = {(r["window_start"], r["user_id"]): r["n_events"] for r in batch}
+    # append mode: only watermark-closed windows are emitted; everything
+    # emitted must equal the batch twin (whose F.window sliding semantics
+    # are oracle-certified by q_sliding_events).
+    assert len(got) > 0
+    assert got.items() <= want.items()
+    import datetime
+
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - datetime.timedelta(hours=3)  # watermark 2h + window 1h
+    missing = set(want) - set(got)
+    assert all(ws >= horizon for ws, _ in missing)
+
+
 def test_stream_dedup_distinct_ids(spark, sf_dir):
     stream = deduped_stream(read_events_stream(spark, sf_dir))
     run_to_memory(stream.select("event_id"), "stream_dedup")
