@@ -646,3 +646,119 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
     )
+
+
+@register(
+    "q11_important_values",
+    oracle="""
+WITH v AS (
+  SELECT l_partkey AS partkey,
+         cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS bigint)) AS bigint) AS value_x1e4
+  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY 1
+),
+t AS (SELECT cast(sum(value_x1e4) AS bigint) AS total_x1e4 FROM v)
+SELECT partkey, value_x1e4
+FROM v, t
+WHERE value_x1e4 * 1000 > total_x1e4
+ORDER BY value_x1e4 DESC, partkey
+""",
+    doc="TPC-H Q11 shape (adapted: no partsupp in the harness, so 'stock "
+    "value' is the discounted revenue of one nation's suppliers per "
+    "part): per-part value vs a global-total scalar subquery. The "
+    "HAVING value > 0.1% of total comparison is cross-multiplied on "
+    "x1e4-scaled bigints (value * 1000 > total), so no division exists "
+    "to drift. Plan: dims broadcast, ONE shuffle on partkey; the global "
+    "total is a second tiny aggregate over the same partials broadcast "
+    "back as a 1-row scalar (the Q22 pattern).",
+    tags=("subquery", "agg", "scalar-broadcast"),
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    value_x1e4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("long")
+    vals = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(value_x1e4).alias("value_x1e4"))
+    )
+    total = vals.agg(F.sum("value_x1e4").alias("total_x1e4"))
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .filter(F.col("value_x1e4") * 1000 > F.col("total_x1e4"))
+        .select("partkey", "value_x1e4")
+        .orderBy(F.desc("value_x1e4"), "partkey")
+    )
+
+
+@register(
+    "q20_dominant_suppliers",
+    oracle="""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         cast(sum(cast(round(l_quantity * 100, 0) AS bigint)) AS bigint) AS supp_qty_x100
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '%red%'
+    AND l_shipdate >= timestamp '1995-01-01 00:00:00'
+    AND l_shipdate <  timestamp '1996-01-01 00:00:00'
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT l_partkey, cast(sum(supp_qty_x100) AS bigint) AS part_qty_x100
+  FROM ps GROUP BY 1
+)
+SELECT s_name, n_name,
+       count(*) AS n_parts,
+       cast(sum(supp_qty_x100) AS bigint) AS qty_x100
+FROM ps JOIN p USING (l_partkey)
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+WHERE supp_qty_x100 * 2 > part_qty_x100
+GROUP BY s_name, n_name
+ORDER BY s_name
+""",
+    doc="TPC-H Q20 shape (adapted: no partsupp, so 'excess availability' "
+    "becomes shipment dominance — suppliers who shipped more than half "
+    "of a red part's 1995 volume): nested aggregate chain "
+    "(part,supplier) -> part, the half-of-total comparison "
+    "cross-multiplied on cent-scaled bigints, then a broadcast "
+    "supplier/nation join and per-supplier rollup. The part-level total "
+    "is a WINDOW sum over the (part,supplier) aggregate rather than a "
+    "second aggregate joined back — the fact scans ONCE and everything "
+    "after the first shuffle operates on the tiny aggregate.",
+    tags=("subquery", "agg", "join", "like"),
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    qty_x100 = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    ps = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(qty_x100).alias("supp_qty_x100"))
+    )
+    dom = ps.withColumn(
+        "part_qty_x100",
+        F.sum("supp_qty_x100").over(W.partitionBy("l_partkey")),
+    ).filter(F.col("supp_qty_x100") * 2 > F.col("part_qty_x100"))
+    return (
+        dom.join(F.broadcast(sup), dom.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy("s_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("supp_qty_x100").alias("qty_x100"),
+        )
+        .orderBy("s_name")
+    )

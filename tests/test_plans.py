@@ -248,3 +248,21 @@ def test_centroid_stats_broadcasts_means(spark, sf_dir):
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_q11_scalar_total_broadcasts(spark, sf_dir):
+    plan = plan_of(QUERIES["q11_important_values"].build(spark, sf_dir))
+    # the global-total comparison must come back as a broadcast (1-row
+    # scalar), never a shuffle join against the per-part aggregate
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q20_single_fact_scan_window_total(spark, sf_dir):
+    plan = plan_of(QUERIES["q20_dominant_suppliers"].build(spark, sf_dir))
+    # part-level total via Window over the (part,supplier) aggregate:
+    # exactly ONE lineitem scan, no SMJ, dims broadcast
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
