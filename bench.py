@@ -53,6 +53,7 @@ HEADLINE = [
     "txt_pii_scrub",
     "txt_packed_assignment",
     "txt_importance_dsir",
+    "txt_lm_score",
     "q_funnel",
     "sim_cosine_topk",
     "sim_centroid_stats",

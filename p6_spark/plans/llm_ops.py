@@ -1841,3 +1841,124 @@ def sim_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "txt_lm_score",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+),
+cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+tot AS (SELECT cast(sum(c) AS bigint) AS t FROM cnt),
+vocab AS (SELECT token, c FROM cnt ORDER BY c DESC, token LIMIT 1024),
+lp AS (
+  SELECT v.token,
+         cast(round((ln(v.c) - ln(tot.t)) * 1000000, 0) AS bigint) AS lp_x1e6
+  FROM vocab v, tot
+),
+scored AS (
+  SELECT tok.doc_id,
+         coalesce(lp.lp_x1e6,
+                  -cast(round(ln(tot.t) * 1000000, 0) AS bigint)) AS lp_x1e6
+  FROM tok LEFT JOIN lp ON lp.token = tok.token, tot
+)
+SELECT doc_id, count(*) AS n_tokens,
+       cast(sum(lp_x1e6) AS bigint) AS sum_lp_x1e6,
+       cast(sum(lp_x1e6) AS bigint) // count(*) AS avg_lp_x1e6
+FROM scored GROUP BY doc_id ORDER BY doc_id
+""",
+    doc="Unigram-LM document scoring — the CCNet/KenLM-style perplexity "
+    "quality filter with the LM trained on the corpus itself: per-token "
+    "log-prob ln(c)-ln(T) snapped to x1e6 bigints (the txt_tfidf "
+    "convention), out-of-vocab floored at ln(1)-ln(T), per-doc sum and "
+    "trunc-div average exactly reproducible cross-engine. Scale shape: "
+    "the LM is a BOUNDED top-V vocab table (V=1024 here; the classic LM "
+    "filter ships a fixed vocab) broadcast onto the token stream, so the "
+    "corpus shuffles once on token for counting and once on doc_id for "
+    "the rollup — the 100 TB plan is count, broadcast, scan.",
+    tags=("text", "quality", "lm", "fixed-point"),
+)
+def txt_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6_spark.operators.text import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
+    cnt = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").cast("long").alias("t"))
+    vocab = cnt.orderBy(F.desc("c"), F.asc("token")).limit(1024)
+    lp = vocab.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.round((F.log("c") - F.log("t")) * 1000000, 0).cast("long").alias("lp_x1e6"),
+    )
+    floor_lp = -F.round(F.log("t") * 1000000, 0).cast("long")
+    scored = (
+        tok.join(F.broadcast(lp), "token", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", F.coalesce(F.col("lp_x1e6"), floor_lp).alias("lp_x1e6"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lp_x1e6").alias("sum_lp_x1e6"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_lp_x1e6",
+            F.expr("sum_lp_x1e6 div n_tokens").alias("avg_lp_x1e6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "txt_token_entropy",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+),
+per AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id,
+         cast(sum(c) AS bigint) AS n_tokens,
+         count(*) AS n_distinct,
+         cast(sum(c * cast(round(ln(c) * 1000000, 0) AS bigint)) AS bigint) AS s
+  FROM per GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct,
+       cast(round(ln(n_tokens) * 1000000, 0) AS bigint) - (s // n_tokens) AS h_x1e6,
+       (n_distinct * 1000000) // n_tokens AS ttr_x1e6
+FROM agg ORDER BY doc_id
+""",
+    doc="Per-document token-distribution entropy and type-token ratio — "
+    "the diversity/gibberish axis of quality filtering (low entropy = "
+    "repetitive spam, complements txt_repetition's top-ngram share). "
+    "H = ln(n) - (1/n)*sum(c*ln c) computed entirely in x1e6-snapped "
+    "bigints with trunc division, so the value is hash-exact across "
+    "engines. One (doc_id, token) shuffle then a doc_id rollup that AQE "
+    "reuses the same partitioning for; nothing but counts ever moves.",
+    tags=("text", "quality", "entropy", "fixed-point"),
+)
+def txt_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6_spark.operators.text import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
+    per = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    agg = per.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("c") * F.round(F.log("c") * 1000000, 0).cast("long")).alias("s"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        (
+            F.round(F.log("n_tokens") * 1000000, 0).cast("long")
+            - F.expr("s div n_tokens")
+        ).alias("h_x1e6"),
+        F.expr("(n_distinct * 1000000) div n_tokens").alias("ttr_x1e6"),
+    ).orderBy("doc_id")

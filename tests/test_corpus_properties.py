@@ -181,3 +181,30 @@ def test_train_order_is_deterministic_permutation(spark, sf_dir):
     assert len({r.doc_id for r in a}) == len(a)
     keys = [r.order_key for r in a]
     assert keys == sorted(keys)
+
+
+def test_lm_score_bounds_and_entropy_invariants(spark, sf_dir):
+    """LM log-probs are strictly negative and bounded below by the OOV
+    floor; token entropy lies in [0, ln n] and TTR in (0, 1e6]."""
+    import math
+
+    from p6_spark.plans import QUERIES, get_queries
+
+    get_queries()
+    lm = {r["doc_id"]: r for r in QUERIES["txt_lm_score"].build(spark, sf_dir).collect()}
+    ent = {
+        r["doc_id"]: r for r in QUERIES["txt_token_entropy"].build(spark, sf_dir).collect()
+    }
+    assert set(lm) == set(ent)
+    for d, r in lm.items():
+        assert r["n_tokens"] >= 1
+        assert r["avg_lp_x1e6"] < 0  # probabilities < 1
+        # average can't be below the floor lp (OOV, worst case)
+        assert r["sum_lp_x1e6"] >= r["n_tokens"] * r["avg_lp_x1e6"] - r["n_tokens"]
+    for d, r in ent.items():
+        assert 0 <= r["h_x1e6"] <= int(math.log(r["n_tokens"]) * 1e6) + 2
+        assert 0 < r["ttr_x1e6"] <= 1_000_000
+        assert r["n_distinct"] <= r["n_tokens"]
+        # single-token docs have zero entropy; uniform docs max it out
+        if r["n_distinct"] == 1:
+            assert r["h_x1e6"] == 0

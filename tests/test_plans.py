@@ -266,3 +266,11 @@ def test_q20_single_fact_scan_window_total(spark, sf_dir):
     assert "Window" in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_lm_score_vocab_broadcasts(spark, sf_dir):
+    plan = plan_of(QUERIES["txt_lm_score"].build(spark, sf_dir))
+    # the bounded top-V LM table must broadcast onto the token stream —
+    # a sort-merge join on token would shuffle the exploded corpus twice
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
