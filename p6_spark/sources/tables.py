@@ -57,6 +57,28 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a harness table, memoized per (session, sf_dir, table).
+
+    A DataFrame is an immutable plan, so handing every caller the same
+    object is exactly what registering a temp view once would do — and it
+    skips the repeated file-listing + parquet-footer schema read that
+    otherwise costs ~0.1 s per call (which dominated small-SF bench
+    timings: the queries run in milliseconds, the re-reads don't).
+    The cache hangs off the session object, so it dies with the session.
+    """
+    cache = getattr(spark, "_p6_table_cache", None)
+    if cache is None:
+        cache = {}
+        spark._p6_table_cache = cache
+    key = (sf_dir, name)
+    df = cache.get(key)
+    if df is None:
+        df = _load_table_uncached(spark, sf_dir, name)
+        cache[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # Legacy fallback conf for readers that reject TIMESTAMP(NANOS);
