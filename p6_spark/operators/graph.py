@@ -89,3 +89,57 @@ def dedup_clusters(
         F.col("node").alias(id_col)
     )
     return docs.join(losers, id_col, "left_anti")
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    iters: int = 3,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Fixed-point integer PageRank (damping 0.85) — the second iterative
+    algorithm certified by the quantize-first trick (see operators/ivf.py
+    for k-means): ranks live as x1e9 bigints, every step is integer
+    truncating division and associative integer sums, so an unrolled
+    DuckDB replay is bit-identical and the result is hash-exact under any
+    partitioning.
+
+    Per round: rank(v) <- (0.15*scale)/N + 0.85 * sum over in-edges of
+    rank(u)/outdeg(u), all in trunc-div integer space. Dangling-node mass
+    (sinks with no out-edges) is dropped, not redistributed — documented
+    simplification, identical on both engines.
+
+    Scale shape: each round is ONE shuffle of edge contributions grouped
+    by dst (the canonical distributed PageRank); the rank and out-degree
+    tables are node-sized and join back onto the edge list. N arrives as
+    a broadcast 1-row scalar, never a driver literal.
+    """
+    e = edges.select(F.col("src"), F.col("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nn = nodes.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", F.expr(f"{scale}L div n").alias("rank")
+    )
+    for _ in range(iters):
+        contribs = (
+            e.join(deg, "src")
+            .join(ranks.select(F.col("node").alias("src"), "rank"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("rank div outdeg")).alias("s"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(contribs, nodes.node == contribs.dst, "left")
+            .select(
+                "node",
+                (
+                    F.expr(f"{15 * scale}L div (100 * n)")
+                    + F.expr("(85 * coalesce(s, 0L)) div 100")
+                ).alias("rank"),
+            )
+        )
+    return ranks

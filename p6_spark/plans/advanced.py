@@ -1417,3 +1417,90 @@ def q_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "purchase_id", "view_id")
         .orderBy("user_id", "purchase_id", "view_id")
     )
+
+
+@register(
+    "q_graph_pagerank",
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT cast(count(*) AS bigint) AS n FROM nodes),
+deg AS (SELECT src, cast(count(*) AS bigint) AS outdeg FROM e GROUP BY 1),
+r0 AS (
+  SELECT node, cast(1000000000 AS bigint) // nn.n AS rank FROM nodes CROSS JOIN nn
+),
+c1 AS (
+  SELECT e.dst, cast(sum(r.rank // d.outdeg) AS bigint) AS s
+  FROM e JOIN r0 r ON r.node = e.src JOIN deg d ON d.src = e.src
+  GROUP BY 1
+),
+r1 AS (
+  SELECT nodes.node,
+         (15 * cast(1000000000 AS bigint)) // (100 * nn.n) + (85 * coalesce(c1.s, 0)) // 100 AS rank
+  FROM nodes CROSS JOIN nn LEFT JOIN c1 ON c1.dst = nodes.node
+),
+c2 AS (
+  SELECT e.dst, cast(sum(r.rank // d.outdeg) AS bigint) AS s
+  FROM e JOIN r1 r ON r.node = e.src JOIN deg d ON d.src = e.src
+  GROUP BY 1
+),
+r2 AS (
+  SELECT nodes.node,
+         (15 * cast(1000000000 AS bigint)) // (100 * nn.n) + (85 * coalesce(c2.s, 0)) // 100 AS rank
+  FROM nodes CROSS JOIN nn LEFT JOIN c2 ON c2.dst = nodes.node
+),
+c3 AS (
+  SELECT e.dst, cast(sum(r.rank // d.outdeg) AS bigint) AS s
+  FROM e JOIN r2 r ON r.node = e.src JOIN deg d ON d.src = e.src
+  GROUP BY 1
+),
+r3 AS (
+  SELECT nodes.node,
+         (15 * cast(1000000000 AS bigint)) // (100 * nn.n) + (85 * coalesce(c3.s, 0)) // 100 AS rank
+  FROM nodes CROSS JOIN nn LEFT JOIN c3 ON c3.dst = nodes.node
+)
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       node // 2 AS node_key,
+       rank AS rank_x1e9
+FROM r3
+ORDER BY rank_x1e9 DESC, node_type, node_key
+LIMIT 20
+""",
+    doc="Fixed-point integer PageRank (operators/graph.pagerank_fixed) "
+    "over the customer->supplier purchase graph (distinct pairs from "
+    "lineitem x orders; node ids namespaced even/odd): three Lloyd-style "
+    "unrolled rounds of rank(v) <- 0.15/N + 0.85*sum(rank(u)/outdeg(u)) "
+    "in x1e9 trunc-div bigints — the same quantize-first certification "
+    "trick as sim_ivf_ann, replayed exactly by the DuckDB CTE chain. "
+    "Each round shuffles edge contributions once on dst; top-20 emitted "
+    "via TakeOrderedAndProject, never a global sort.",
+    tags=("graph", "iterative", "fixed-point"),
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6_spark.operators.graph import pagerank_fixed
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank_fixed(edges, iters=3)
+    return (
+        ranks.select(
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            F.expr("node div 2").alias("node_key"),
+            F.col("rank").alias("rank_x1e9"),
+        )
+        .orderBy(F.desc("rank_x1e9"), "node_type", "node_key")
+        .limit(20)
+    )

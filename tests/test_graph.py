@@ -64,3 +64,36 @@ def test_dedup_clusters_keeps_one_per_component(spark, sf_dir):
     # and every unclustered doc survives
     all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
     assert all_ids - clustered <= kept_ids
+
+
+def test_pagerank_fixed_properties(spark, sf_dir):
+    """Integer PageRank invariants: deterministic across runs; suppliers
+    (pure sinks in the purchase graph) accumulate rank above the 0.15/N
+    floor; customers (no in-edges) sit exactly AT the floor; total mass
+    never exceeds the initial scale (trunc division only loses)."""
+    from pyspark.sql import functions as F
+
+    from p6_spark.operators.graph import pagerank_fixed
+    from p6_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    r1 = {r["node"]: r["rank"] for r in pagerank_fixed(edges, iters=3).collect()}
+    r2 = {r["node"]: r["rank"] for r in pagerank_fixed(edges, iters=3).collect()}
+    assert r1 == r2
+    n = len(r1)
+    floor = (15 * 1_000_000_000) // (100 * n)
+    customers = {k: v for k, v in r1.items() if k % 2 == 0}
+    suppliers = {k: v for k, v in r1.items() if k % 2 == 1}
+    assert customers and suppliers
+    assert all(v == floor for v in customers.values())
+    assert all(v > floor for v in suppliers.values())
+    assert sum(r1.values()) <= 1_000_000_000
