@@ -1970,3 +1970,130 @@ def txt_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("h_x1e6"),
         F.expr("(n_distinct * 1000000) div n_tokens").alias("ttr_x1e6"),
     ).orderBy("doc_id")
+
+
+@register(
+    "sim_gram_matrix",
+    oracle="""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding::double[],
+                        x -> cast(round(x * 10000, 0) AS bigint)) AS qv
+  FROM embeddings
+),
+el AS (
+  SELECT e.vec_id, g.i AS pos, qv[g.i] AS v
+  FROM e, generate_series(1, 64) AS g(i)
+)
+SELECT a.pos AS i, b.pos AS j,
+       cast(sum(a.v * b.v) AS bigint) AS gram,
+       count(*) AS n
+FROM el a JOIN el b ON a.vec_id = b.vec_id AND b.pos >= a.pos
+GROUP BY 1, 2
+ORDER BY i, j
+""",
+    doc="Distributed Gram matrix X^T X over x1e4-quantized embeddings — "
+    "the building block of PCA/whitening/linear probes (eigendecomposition "
+    "of the dim x dim result is driver-side model work, like shipping "
+    "k-means centroids). Per-row upper-triangle outer products expand "
+    "map-side via a pos-indexed explode over slice(qv, i, ...) — no "
+    "self-join, the embedding table is read once — and the single shuffle "
+    "carries (i, j) keys: dim^2/2 groups regardless of corpus size. "
+    "Integer products of quantized values make the 2080-entry matrix "
+    "hash-exact on any engine/partitioning.",
+    tags=("similarity", "linear-algebra", "fixed-point"),
+)
+def sim_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 10000, 0).cast("long")
+    )
+    e = emb.select("vec_id", qv.alias("qv"))
+    # (i, v_i, tail) per position; tail = qv[i..end] so products v_i * v_j
+    # for j >= i expand without a join
+    rows = e.select(
+        "vec_id", F.posexplode("qv").alias("pos0", "vi"), F.col("qv")
+    ).select(
+        (F.col("pos0") + 1).alias("i"),
+        "vi",
+        F.expr("slice(qv, pos0 + 1, size(qv) - pos0)").alias("tail"),
+    )
+    prods = rows.select(
+        "i",
+        F.posexplode(F.expr("transform(tail, x -> x * vi)")).alias("dj", "p"),
+    ).select("i", (F.col("i") + F.col("dj")).alias("j"), "p")
+    return (
+        prods.groupBy("i", "j")
+        .agg(F.sum("p").alias("gram"), F.count(F.lit(1)).alias("n"))
+        .orderBy("i", "j")
+    )
+
+
+@register(
+    "q_kmv_distinct",
+    oracle="""
+WITH h AS (
+  SELECT 'l_partkey' AS col, ('0x' || substr(md5(cast(l_partkey AS varchar)), 1, 8))::bigint AS h
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_suppkey', ('0x' || substr(md5(cast(l_suppkey AS varchar)), 1, 8))::bigint FROM lineitem
+  UNION ALL
+  SELECT 'o_custkey', ('0x' || substr(md5(cast(o_custkey AS varchar)), 1, 8))::bigint FROM orders
+),
+d AS (SELECT DISTINCT col, h FROM h),
+topk AS (
+  SELECT col, h, row_number() OVER (PARTITION BY col ORDER BY h) AS rn
+  FROM d
+)
+SELECT col,
+       count(*) AS k_used,
+       max(h) AS kth_min,
+       CASE WHEN count(*) < 64 THEN count(*)
+            ELSE (63 * 4294967296) // max(h) END AS est_distinct
+FROM topk WHERE rn <= 64
+GROUP BY col
+ORDER BY col
+""",
+    doc="KMV (k-minimum-values) distinct-count sketch, k=64 — the "
+    "deterministic, engine-portable counterpart of q_approx_sketches' "
+    "HLL: built on md5 hashes, the k smallest distinct hash values and "
+    "the (k-1)*2^32/kth_min estimate replay bit-for-bit in DuckDB, so "
+    "an APPROXIMATE algorithm gets an EXACT oracle. Sub-k columns fall "
+    "back to the exact count (the sketch IS exact below k). The demo "
+    "pays one distinct shuffle per column; the production shape keeps a "
+    "k-element heap per partition and merges (mergeable-sketch "
+    "property), which this certifies the arithmetic of.",
+    tags=("sketch", "distinct", "fixed-point"),
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6_spark.operators.text import md5_int
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    parts = [
+        li.select(F.lit("l_partkey").alias("col"), md5_int(F.col("l_partkey")).alias("h")),
+        li.select(F.lit("l_suppkey").alias("col"), md5_int(F.col("l_suppkey")).alias("h")),
+        orders.select(F.lit("o_custkey").alias("col"), md5_int(F.col("o_custkey")).alias("h")),
+    ]
+    hashes = parts[0]
+    for p in parts[1:]:
+        hashes = hashes.unionAll(p)
+    d = hashes.distinct()
+    from pyspark.sql.window import Window as W
+
+    topk = d.withColumn(
+        "rn", F.row_number().over(W.partitionBy("col").orderBy("h"))
+    ).filter(F.col("rn") <= 64)
+    return (
+        topk.groupBy("col")
+        .agg(F.count(F.lit(1)).alias("k_used"), F.max("h").alias("kth_min"))
+        .select(
+            "col",
+            "k_used",
+            "kth_min",
+            F.when(F.col("k_used") < 64, F.col("k_used"))
+            .otherwise(F.expr("(63 * 4294967296L) div kth_min"))
+            .alias("est_distinct"),
+        )
+        .orderBy("col")
+    )

@@ -208,3 +208,48 @@ def test_lm_score_bounds_and_entropy_invariants(spark, sf_dir):
         # single-token docs have zero entropy; uniform docs max it out
         if r["n_distinct"] == 1:
             assert r["h_x1e6"] == 0
+
+
+def test_gram_matrix_symmetry_and_diagonal(spark, sf_dir):
+    """Gram output is the upper triangle of a PSD matrix: diagonal entries
+    are sums of squares (non-negative) and dominate via Cauchy-Schwarz:
+    gram(i,j)^2 <= gram(i,i)*gram(j,j)."""
+    from p6_spark.plans import QUERIES, get_queries
+
+    get_queries()
+    rows = QUERIES["sim_gram_matrix"].build(spark, sf_dir).collect()
+    g = {(r["i"], r["j"]): r["gram"] for r in rows}
+    dims = sorted({i for i, _ in g})
+    assert dims == list(range(1, 65))
+    assert len(g) == 64 * 65 // 2
+    for i in dims:
+        assert g[(i, i)] >= 0
+    for (i, j), v in g.items():
+        if i != j:
+            assert v * v <= g[(i, i)] * g[(j, j)]
+
+
+def test_kmv_estimate_within_error_bound(spark, sf_dir):
+    """KMV with k=64 has relative standard error ~1/sqrt(k-2) ≈ 12.7%;
+    demand the estimates land within 4 sigma of the exact counts, and
+    that sub-k columns return the exact count."""
+    from pyspark.sql import functions as F
+
+    from p6_spark.plans import QUERIES, get_queries
+    from p6_spark.sources.tables import load_table
+
+    get_queries()
+    est = {r["col"]: r for r in QUERIES["q_kmv_distinct"].build(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    exact = {
+        "l_partkey": li.select("l_partkey").distinct().count(),
+        "l_suppkey": li.select("l_suppkey").distinct().count(),
+        "o_custkey": orders.select("o_custkey").distinct().count(),
+    }
+    for col, true_n in exact.items():
+        r = est[col]
+        if true_n <= 64:
+            assert r["est_distinct"] == true_n
+        else:
+            assert abs(r["est_distinct"] - true_n) / true_n < 4 * 0.127
