@@ -2097,3 +2097,182 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col")
     )
+
+
+@register(
+    "dd_cluster_best",
+    oracle=f"""
+WITH RECURSIVE {_sql_minhash_sig('TRUE')},
+bands AS (
+  SELECT doc_id, 0 AS band_idx, cast(h0 AS varchar) || '_' || cast(h1 AS varchar) AS band_val FROM sig
+  UNION ALL
+  SELECT doc_id, 1, cast(h2 AS varchar) || '_' || cast(h3 AS varchar) FROM sig
+  UNION ALL
+  SELECT doc_id, 2, cast(h4 AS varchar) || '_' || cast(h5 AS varchar) FROM sig
+  UNION ALL
+  SELECT doc_id, 3, cast(h6 AS varchar) || '_' || cast(h7 AS varchar) FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT u AS node, u AS label FROM edges
+  UNION
+  SELECT e.u, r.label FROM edges e JOIN reach r ON r.node = e.v
+),
+comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+ranked AS (
+  SELECT comp.component, comp.node AS doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY comp.component
+                            ORDER BY d.n_chars DESC, comp.node) AS rn,
+         count(*) OVER (PARTITION BY comp.component) AS cluster_size
+  FROM comp JOIN documents d ON d.doc_id = comp.node
+)
+SELECT component, doc_id AS rep_doc_id, n_chars AS rep_n_chars, cluster_size
+FROM ranked WHERE rn = 1
+ORDER BY component
+""",
+    doc="Cluster-representative selection — the step after duplicate "
+    "clustering that the greedy keep-min-id rule gets wrong: within each "
+    "connected component of the MinHash-LSH pair graph, keep the HIGHEST-"
+    "QUALITY member (longest document here, doc_id tie-break), not an "
+    "arbitrary one. Composes dd_cc_clusters' min-label components with a "
+    "quality join + per-component ranking window: one extra broadcast-"
+    "size join and one shuffle on component beyond the CC rounds. "
+    "Oracle replays components recursively then applies the same window.",
+    tags=("dedup", "graph", "quality", "composition"),
+)
+def dd_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from p6_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs)
+    pairs = dd.lsh_candidate_pairs(sigs)
+    cc = connected_components(pairs)
+    ranked = (
+        cc.join(docs.select(F.col("doc_id"), "n_chars"), cc.node == F.col("doc_id"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("component").orderBy(F.desc("n_chars"), F.asc("node"))
+            ),
+        )
+        .withColumn(
+            "cluster_size", F.count(F.lit(1)).over(Window.partitionBy("component"))
+        )
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("n_chars").alias("rep_n_chars"),
+            "cluster_size",
+        )
+        .orderBy("component")
+    )
+
+
+@register(
+    "txt_mixture_sample",
+    oracle="""
+WITH per_src AS (
+  SELECT source,
+         cast(count(*) AS bigint) AS n_docs,
+         cast(sum(len(regexp_extract_all(text,
+              ' ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+'))) AS bigint) AS total_tokens
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_docs, total_tokens,
+         cast(floor(pow(total_tokens::double, 0.7) + 0.5) AS bigint) AS weight
+  FROM per_src
+),
+rates AS (
+  SELECT source, n_docs, total_tokens,
+         least(1000000,
+           (5000000 * ((weight * 1000000) // (SELECT cast(sum(weight) AS bigint) FROM w))
+             // 1000000 * 1000000) // total_tokens) AS rate_x1e6
+  FROM w
+),
+picked AS (
+  SELECT d.source, d.doc_id,
+         len(regexp_extract_all(d.text,
+             ' ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+')) AS n_tok,
+         ('0x' || substr(md5('mix42_' || cast(d.doc_id AS varchar)), 1, 8))::bigint % 1000000 AS u
+  FROM documents d
+)
+SELECT r.source, r.n_docs, r.rate_x1e6,
+       count(*) FILTER (WHERE p.u < r.rate_x1e6) AS n_sampled,
+       cast(coalesce(sum(p.n_tok) FILTER (WHERE p.u < r.rate_x1e6), 0) AS bigint) AS sampled_tokens
+FROM rates r JOIN picked p ON p.source = r.source
+GROUP BY r.source, r.n_docs, r.rate_x1e6
+ORDER BY r.source
+""",
+    doc="Mixture MATERIALIZATION — turns txt_mixture_plan's temperature-"
+    "damped (alpha=0.7) token allocation into an actual deterministic "
+    "sample: per-source keep-rate = alloc/total capped at 1 (x1e6 "
+    "integers), membership decided by a seeded md5 draw per doc_id — "
+    "reproducible across engines and runs, no RNG state, and exactly "
+    "the Bernoulli rate the plan asked for in expectation. The rate "
+    "table is source-sized and broadcasts; the corpus scans once and "
+    "the per-doc draw is a codegen expression, so at 100 TB this is a "
+    "single pass. Emits the per-source realized sample for audit.",
+    tags=("text", "mixture", "sampling", "composition"),
+)
+def txt_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from p6_spark.operators.text import bpe_ish_token_count, md5_int
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(bpe_ish_token_count(F.col("text")).cast("long")).alias("total_tokens"),
+    )
+    w = per_src.withColumn(
+        "weight",
+        F.floor(F.pow(F.col("total_tokens").cast("double"), F.lit(0.7)) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    total_w = F.sum("weight").over(Window.partitionBy())
+    rates = (
+        w.withColumn("total_w", total_w)
+        .withColumn("share_x1e6", F.expr("(weight * 1000000) div total_w"))
+        .withColumn("alloc_tokens", F.expr("(5000000 * share_x1e6) div 1000000"))
+        .select(
+            "source",
+            "n_docs",
+            F.least(
+                F.lit(1000000).cast("long"),
+                F.expr("(alloc_tokens * 1000000) div total_tokens"),
+            ).alias("rate_x1e6"),
+        )
+    )
+    picked = docs.select(
+        "source",
+        bpe_ish_token_count(F.col("text")).cast("long").alias("n_tok"),
+        (md5_int(F.concat(F.lit("mix42_"), F.col("doc_id").cast("string"))) % 1000000).alias("u"),
+    )
+    kept = F.col("u") < F.col("rate_x1e6")
+    return (
+        picked.join(F.broadcast(rates), "source")
+        .groupBy("source", "n_docs", "rate_x1e6")
+        .agg(
+            F.count(F.when(kept, 1)).alias("n_sampled"),
+            F.coalesce(F.sum(F.when(kept, F.col("n_tok"))), F.lit(0).cast("long")).alias(
+                "sampled_tokens"
+            ),
+        )
+        .orderBy("source")
+    )
