@@ -1,0 +1,46 @@
+"""Partition-invariance: the fixed-point/integer-exact queries claim
+'hash-exact under ANY partitioning'. Prove it: run each under a very
+different shuffle-partition count (and with AQE coalescing disabled so
+the setting actually bites) and demand row-identical results. This is
+the local stand-in for 'same answer on a 1000-executor cluster'."""
+
+from __future__ import annotations
+
+import pytest
+
+from p6_spark.plans import QUERIES, get_queries
+
+get_queries()
+
+INVARIANT_QUERIES = [
+    "q01_pricing_summary",      # two-stage fast_exact_sums
+    "sim_centroid_stats",       # fixed-point centroids
+    "sim_ivf_ann",              # fixed-point Lloyd + integer re-rank
+    "q_graph_pagerank",         # fixed-point damping rounds
+    "txt_lm_score",             # x1e6 log-prob sums
+    "txt_token_entropy",        # x1e6 entropy sums
+    "sim_gram_matrix",          # integer outer products
+    "q_kmv_distinct",           # portable-hash sketch
+    "dd_cc_clusters",           # min-label propagation
+]
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", INVARIANT_QUERIES)
+def test_result_invariant_to_shuffle_partitioning(spark, sf_dir, name):
+    conf = spark.conf
+    orig_parts = conf.get("spark.sql.shuffle.partitions")
+    orig_coalesce = conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    try:
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        conf.set("spark.sql.shuffle.partitions", "3")
+        a = _rows(QUERIES[name].build(spark, sf_dir))
+        conf.set("spark.sql.shuffle.partitions", "29")
+        b = _rows(QUERIES[name].build(spark, sf_dir))
+    finally:
+        conf.set("spark.sql.shuffle.partitions", orig_parts)
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", orig_coalesce)
+    assert a == b
