@@ -2276,3 +2276,80 @@ def txt_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+WITH vids AS (
+  SELECT doc_id AS media_id, n_chars * 10 AS duration_ms
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT media_id,
+       unnest(generate_series(0, cast(duration_ms AS bigint), 500)) AS frame_ts_ms
+FROM vids
+ORDER BY media_id, frame_ts_ms
+""",
+    doc="Video frame-sampling plumbing (operators/multimodal.sample_frames): "
+    "documents re-cast as video rows (duration derived from n_chars), one "
+    "output row per sampled timestamp via a computed-sequence explode — "
+    "pure column logic that the per-frame decode mapInPandas stage would "
+    "consume downstream. The explode is map-side (no shuffle, no Python); "
+    "the oracle replays it with generate_series. At 100 TB the frame "
+    "fan-out happens next to the payload bytes on the executor.",
+    tags=("multimodal", "explode"),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6_spark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.filter(F.col("doc_id") % 3 == 2).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.lit(None).cast("string").alias("mime"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return sample_frames(media, every_ms=500).orderBy("media_id", "frame_ts_ms")
+
+
+@register(
+    "mm_resize",
+    oracle="""
+SELECT doc_id AS media_id,
+       md5(text) AS digest,
+       octet_length(encode(text)) AS n_bytes,
+       224 AS width, 224 AS height
+FROM documents WHERE doc_id % 3 = 0
+ORDER BY media_id
+""",
+    doc="Image-resize plumbing (operators/multimodal.resize_images): "
+    "documents re-cast as image payloads routed through the Arrow "
+    "mapInPandas resize stage (codec stubbed: payload passes through, "
+    "target dims attached — a real PIL resample drops in without touching "
+    "the Spark plumbing). The oracle certifies the stage end-to-end via "
+    "SQL facts: payload identity (md5), byte length, emitted dimensions. "
+    "Payload bytes never leave the executor; Python sees Arrow batches.",
+    tags=("multimodal", "mapinpandas"),
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6_spark.operators.multimodal import resize_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    out = resize_images(media, width=224, height=224)
+    return out.select(
+        "media_id",
+        F.md5("payload").alias("digest"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        "width",
+        "height",
+    ).orderBy("media_id")
