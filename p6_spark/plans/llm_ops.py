@@ -2353,3 +2353,75 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "width",
         "height",
     ).orderBy("media_id")
+
+
+@register(
+    "q_countmin_heavy",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest({_SQL_TOKENS}) AS token FROM documents
+),
+cnt AS (SELECT token, cast(count(*) AS bigint) AS true_count FROM tok GROUP BY 1),
+cells AS (
+  SELECT r.r AS row_idx,
+         ('0x' || substr(md5(cast(r.r AS varchar) || '_' || token), 1, 8))::bigint % 256 AS cell,
+         cast(count(*) AS bigint) AS c
+  FROM tok, (SELECT unnest([0, 1, 2, 3]) AS r) r
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT token, true_count FROM cnt
+  ORDER BY true_count DESC, token LIMIT 20
+),
+est AS (
+  SELECT t.token, t.true_count, min(cl.c) AS est_count
+  FROM top t
+  JOIN (SELECT r.r AS row_idx,
+               ('0x' || substr(md5(cast(r.r AS varchar) || '_' || t2.token), 1, 8))::bigint % 256 AS cell,
+               t2.token
+        FROM top t2, (SELECT unnest([0, 1, 2, 3]) AS r) r) probe
+    ON probe.token = t.token
+  JOIN cells cl ON cl.row_idx = probe.row_idx AND cl.cell = probe.cell
+  GROUP BY t.token, t.true_count
+)
+SELECT token, true_count, est_count FROM est
+ORDER BY true_count DESC, token
+""",
+    doc="Count-min sketch heavy hitters (4 x 256 cells over the token "
+    "stream) — like q_kmv_distinct, an approximate algorithm whose state "
+    "is EXACT integer arithmetic on portable md5 hashes, so the whole "
+    "sketch (cells and min-estimates for the top-20 tokens) carries a "
+    "DuckDB oracle; est >= true always, overshoot bounded by collisions "
+    "(property-tested). Scale shape: the 4-cell expansion is map-side, "
+    "the aggregate has a BOUNDED 1024 groups regardless of corpus size, "
+    "and cells merge by addition — the mergeable-sketch property that "
+    "lets 1000 executors each keep a local sketch and sum them.",
+    tags=("sketch", "heavy-hitters", "fixed-point"),
+)
+def q_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6_spark.operators.text import md5_int
+    from p6_spark.operators.text import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(_tokens(F.col("text"))).alias("token"))
+    rows4 = F.array(*[F.lit(i) for i in range(4)])
+    cell = md5_int(F.concat(F.col("row_idx").cast("string"), F.lit("_"), F.col("token"))) % 256
+    expanded = tok.select("token", F.explode(rows4).alias("row_idx")).select(
+        "token", "row_idx", cell.alias("cell")
+    )
+    cells = expanded.groupBy("row_idx", "cell").agg(F.count(F.lit(1)).alias("c"))
+    top = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.desc("true_count"), F.asc("token"))
+        .limit(20)
+    )
+    probes = top.select("token", "true_count", F.explode(rows4).alias("row_idx")).select(
+        "token", "true_count", "row_idx", cell.alias("cell")
+    )
+    return (
+        probes.join(F.broadcast(cells), ["row_idx", "cell"])
+        .groupBy("token", "true_count")
+        .agg(F.min("c").alias("est_count"))
+        .orderBy(F.desc("true_count"), "token")
+    )

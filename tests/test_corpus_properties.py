@@ -253,3 +253,25 @@ def test_kmv_estimate_within_error_bound(spark, sf_dir):
             assert r["est_distinct"] == true_n
         else:
             assert abs(r["est_distinct"] - true_n) / true_n < 4 * 0.127
+
+
+def test_countmin_overestimates_bounded(spark, sf_dir):
+    """Count-min property: est >= true for every token, and with 4
+    independent rows the min-of-rows overshoot stays well under the
+    total stream mass / width bound (eps*N with eps = e/256)."""
+    from p6_spark.operators.text import tokens as _tokens
+    from p6_spark.plans import QUERIES, get_queries
+    from p6_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    get_queries()
+    rows = QUERIES["q_countmin_heavy"].build(spark, sf_dir).collect()
+    assert len(rows) == 20
+    docs = load_table(spark, sf_dir, "documents")
+    n_stream = docs.select(
+        F.sum(F.size(_tokens(F.col("text")))).alias("n")
+    ).collect()[0]["n"]
+    bound = (3 * n_stream) // 256  # e/width, rounded up generously
+    for r in rows:
+        assert r["est_count"] >= r["true_count"]
+        assert r["est_count"] - r["true_count"] <= bound
