@@ -2425,3 +2425,50 @@ def q_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("c").alias("est_count"))
         .orderBy(F.desc("true_count"), "token")
     )
+
+
+@register(
+    "pipe_ingest_stats",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, source, md5(text) AS content_md5,
+         length(text) AS n_chars_m,
+         len({_SQL_TOKENS}) AS n_tokens,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+         len(list_filter({_SQL_TOKENS},
+             x -> list_contains(['the','a','value','table','row'], lower(x)))) AS n_stop
+  FROM documents
+),
+accepted AS (
+  SELECT * FROM base
+  WHERE n_tokens >= 5 AND n_digit * 10 <= n_chars_m * 3 AND n_stop * 20 >= n_tokens
+)
+SELECT source,
+       count(*) AS n_accepted,
+       count(DISTINCT content_md5) AS n_distinct_content,
+       cast(sum(n_tokens) AS bigint) AS accepted_tokens
+FROM accepted GROUP BY source ORDER BY source
+""",
+    doc="Batch twin of the streaming corpus-ingest pipeline "
+    "(streaming/corpus.py): the same exact-integer quality rules "
+    "(cross-multiplied thresholds, no float rounding anywhere) and "
+    "content-hash identity, rolled up per source. The stream-equals-"
+    "batch pytest ties the incremental path to this query; this oracle "
+    "certifies the shared expression tree. One scan + a source-sized "
+    "rollup; the md5 distinct is the only hash-wide aggregate.",
+    tags=("pipeline", "streaming-parity", "quality"),
+)
+def pipe_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6_spark.streaming.corpus import ingest_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        ingest_filter(docs)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_accepted"),
+            F.countDistinct("content_md5").alias("n_distinct_content"),
+            F.sum("n_tokens").alias("accepted_tokens"),
+        )
+        .orderBy("source")
+    )
