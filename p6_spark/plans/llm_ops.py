@@ -2472,3 +2472,61 @@ def pipe_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "txt_bpe_pairs",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+idx AS (
+  SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+  FROM base WHERE len(t) >= 2
+),
+pairs AS (
+  SELECT t[i] AS left_tok, t[i + 1] AS right_tok FROM idx
+)
+SELECT left_tok, right_tok, cast(count(*) AS bigint) AS pair_count
+FROM pairs
+GROUP BY 1, 2
+ORDER BY pair_count DESC, left_tok, right_tok
+LIMIT 30
+""",
+    doc="Adjacent-pair counting over the BPE-ish pretokenization — the "
+    "inner loop of BPE/WordPiece tokenizer TRAINING (find the most "
+    "frequent adjacent pair, merge, repeat; this is one scan of that "
+    "loop, the part that runs at corpus scale). Pair expansion is "
+    "map-side (zip each token array against its own tail — no join, no "
+    "Python); the single shuffle carries (left,right) vocab-bounded "
+    "keys with map-side partial counts. Top-30 via TakeOrderedAndProject.",
+    tags=("text", "tokenizer", "bpe"),
+)
+def txt_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6_spark.operators.text import bpe_ish_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.filter(bpe_ish_tokens(F.col("text")), lambda x: x != "")
+    pairs = (
+        docs.select(t.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice("t", 1, F.size("t") - 1),
+                    F.slice("t", 2, F.size("t") - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p")
+        )
+    )
+    return (
+        pairs.select(F.col("p.l").alias("left_tok"), F.col("p.r").alias("right_tok"))
+        .groupBy("left_tok", "right_tok")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "left_tok", "right_tok")
+        .limit(30)
+    )

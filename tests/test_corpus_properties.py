@@ -275,3 +275,42 @@ def test_countmin_overestimates_bounded(spark, sf_dir):
     for r in rows:
         assert r["est_count"] >= r["true_count"]
         assert r["est_count"] - r["true_count"] <= bound
+
+
+def test_corpus_ops_survive_empty_and_null_text(spark):
+    """Degenerate inputs (null text, empty string, whitespace-only,
+    single token) must not crash any per-doc text operator — they are
+    filtered or scored, never exceptions."""
+    from p6_spark.operators.text import (
+        bpe_ish_token_count,
+        fingerprint,
+        lang_id,
+        quality_columns,
+        token_count,
+    )
+    from p6_spark.streaming.corpus import ingest_filter
+    from pyspark.sql import functions as F
+
+    weird = spark.createDataFrame(
+        [
+            (1, None, "en", "s", 0),
+            (2, "", "en", "s", 0),
+            (3, "   \t  ", "en", "s", 6),
+            (4, "one", "en", "s", 3),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    q = quality_columns(F.col("text"))
+    scored = weird.select(
+        "doc_id",
+        token_count(F.col("text")).alias("tc"),
+        bpe_ish_token_count(F.col("text")).alias("bc"),
+        lang_id(F.col("text")).alias("lang"),
+        fingerprint(F.col("text")).alias("fp"),
+        *[v.alias(k) for k, v in q.items()],
+    ).collect()
+    assert len(scored) == 4
+    by_id = {r["doc_id"]: r for r in scored}
+    assert (by_id[2]["tc"], by_id[3]["tc"], by_id[4]["tc"]) == (0, 0, 1)
+    # the ingest filter must reject all degenerate rows without error
+    assert ingest_filter(weird).count() == 0
