@@ -1504,3 +1504,103 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_x1e9"), "node_type", "node_key")
         .limit(20)
     )
+
+
+@register(
+    "q_event_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, count(*) AS n,
+       count(DISTINCT user_id) AS n_users
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+ORDER BY prev_type, next_type
+""",
+    doc="Clickstream transition matrix (Markov first-order counts): each "
+    "user's event sequence pairs via one lag window, then a "
+    "(prev,next)-keyed rollup — the input to funnel optimization and "
+    "next-action models. One user_id shuffle serves the window; the "
+    "transition aggregate is event-type-squared bounded. No self-join "
+    "(the naive spelling joins events to events on adjacency).",
+    tags=("window", "events", "sequence"),
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+@register(
+    "q_mad_outliers",
+    oracle="""
+WITH med AS (
+  SELECT event_type,
+         quantile_disc(value, 0.5) AS med_value
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.value, m.med_value,
+         abs(e.value - m.med_value) AS adev
+  FROM events e JOIN med m ON m.event_type = e.event_type
+),
+mad AS (
+  SELECT event_type, any_value(med_value) AS med_value,
+         quantile_disc(adev, 0.5) AS mad_value
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       count(*) AS n,
+       any_value(m.med_value) AS med_value,
+       any_value(m.mad_value) AS mad_value,
+       count(*) FILTER (WHERE d.adev > 3 * m.mad_value) AS n_outliers
+FROM dev d JOIN mad m ON m.event_type = d.event_type
+GROUP BY d.event_type
+ORDER BY d.event_type
+""",
+    doc="Robust outlier detection: per-type median and median-absolute-"
+    "deviation via percentile_disc (picks ACTUAL data values, so both "
+    "engines agree bit-for-bit — no interpolation), then a 3-MAD fence "
+    "count. The deviation pass reuses the same event_type partitioning "
+    "as the median pass; the med/mad tables are type-sized broadcasts. "
+    "The robust counterpart of q_outlier_trim's stddev fences.",
+    tags=("agg", "statistics", "robust"),
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("med_value")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med_value"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.first("med_value").alias("med_value"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)").alias("mad_value"),
+    )
+    return (
+        dev.drop("med_value")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("med_value").alias("med_value"),
+            F.first("mad_value").alias("mad_value"),
+            F.count(F.when(F.col("adev") > 3 * F.col("mad_value"), 1)).alias(
+                "n_outliers"
+            ),
+        )
+        .orderBy("event_type")
+    )
