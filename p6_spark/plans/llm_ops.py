@@ -2530,3 +2530,67 @@ def txt_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_count"), "left_tok", "right_tok")
         .limit(30)
     )
+
+
+@register(
+    "txt_stutter_scrub",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+  FROM base WHERE len(t) >= 1
+),
+kept AS (
+  SELECT doc_id, t[i] AS tok, i
+  FROM idx WHERE i = 1 OR t[i] <> t[i - 1]
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS scrubbed
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       len(b.t) AS n_tokens,
+       len(b.t) - coalesce(len(string_split(r.scrubbed, ' ')), 0) AS n_removed,
+       md5(coalesce(r.scrubbed, '')) AS scrubbed_md5
+FROM base b LEFT JOIN rebuilt r ON r.doc_id = b.doc_id
+ORDER BY b.doc_id
+""",
+    doc="Stutter scrub — the content TRANSFORM side of repetition "
+    "handling (txt_repetition only scores): collapse immediately "
+    "repeated tokens (OCR/crawler stutter like 'the the') by zipping "
+    "the token array against its own shifted self and keeping "
+    "mismatches. Pure per-row higher-order array expressions — zero "
+    "shuffle, zero Python, embarrassingly parallel over the scan. The "
+    "output is certified by content hash (md5 of the rebuilt text), "
+    "the same convention as txt_pii_scrub.",
+    tags=("text", "scrub", "transform"),
+)
+def txt_stutter_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6_spark.operators.text import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = _tokens(F.col("text"))
+    base = docs.select("doc_id", t.alias("t"))
+    # keep token i if i == 0 or t[i] != t[i-1]: zip with the 1-shifted
+    # self (prepend a sentinel null so index 0 always survives)
+    shifted = F.concat(F.array(F.lit(None).cast("string")), F.col("t"))
+    keep_flags = F.zip_with(
+        F.col("t"),
+        F.slice(shifted, 1, F.size("t")),
+        lambda cur, prev: prev.isNull() | (cur != prev),
+    )
+    kept = F.filter(
+        F.zip_with(
+            F.col("t"), keep_flags, lambda tok, k: F.struct(tok.alias("tok"), k.alias("k"))
+        ),
+        lambda s: s["k"],
+    )
+    scrubbed = F.concat_ws(" ", F.transform(kept, lambda s: s["tok"]))
+    return base.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        (F.size("t") - F.size(kept)).cast("long").alias("n_removed"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    ).orderBy("doc_id")

@@ -314,3 +314,45 @@ def test_corpus_ops_survive_empty_and_null_text(spark):
     assert (by_id[2]["tc"], by_id[3]["tc"], by_id[4]["tc"]) == (0, 0, 1)
     # the ingest filter must reject all degenerate rows without error
     assert ingest_filter(weird).count() == 0
+
+
+def test_stutter_scrub_removes_repeats(spark):
+    """Known stutter cases: consecutive duplicates collapse, alternations
+    survive, and clean text passes through identity (hash equals md5 of
+    whitespace-normalized input)."""
+    import hashlib
+
+    from p6_spark.plans import QUERIES, get_queries
+
+    get_queries()
+    docs = spark.createDataFrame(
+        [
+            (0, "the the the cat", "en", "s", 15),
+            (1, "a b a b a b", "en", "s", 11),
+            (2, "clean text here", "en", "s", 15),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.createOrReplaceTempView("___scrub_in")
+    from p6_spark.plans.llm_ops import txt_stutter_scrub
+    import p6_spark.sources.tables as tables
+
+    # run the operator body against the inline table via monkeypatched load
+    orig = tables.load_table
+    try:
+        tables.load_table = lambda spark_, sf_, name_: docs
+        import p6_spark.plans.llm_ops as llm
+
+        orig_llm = llm.load_table
+        llm.load_table = tables.load_table
+        try:
+            out = {r["doc_id"]: r for r in txt_stutter_scrub(spark, "ignored").collect()}
+        finally:
+            llm.load_table = orig_llm
+    finally:
+        tables.load_table = orig
+    assert out[0]["n_removed"] == 2
+    assert out[0]["scrubbed_md5"] == hashlib.md5(b"the cat").hexdigest()
+    assert out[1]["n_removed"] == 0
+    assert out[2]["n_removed"] == 0
+    assert out[2]["scrubbed_md5"] == hashlib.md5(b"clean text here").hexdigest()
