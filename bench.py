@@ -57,6 +57,11 @@ HEADLINE = [
     "q_funnel",
     "sim_cosine_topk",
     "sim_centroid_stats",
+    "q11_important_values",
+    "q20_dominant_suppliers",
+    "q_graph_pagerank",
+    "sim_gram_matrix",
+    "q_kmv_distinct",
 ]
 
 

@@ -113,11 +113,16 @@ def pagerank_fixed(
     tables are node-sized and join back onto the edge list. N arrives as
     a broadcast 1-row scalar, never a driver literal.
     """
-    e = edges.select(F.col("src"), F.col("dst")).distinct()
+    # materialize the (deduped) edge list once: every damping round and
+    # the degree/node derivations reuse it, instead of re-running the
+    # upstream joins per round (the iterative-Spark lineage trap —
+    # same localCheckpoint pattern as connected_components)
+    e = edges.select(F.col("src"), F.col("dst")).distinct().localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint()
     )
     nn = nodes.agg(F.count(F.lit(1)).cast("long").alias("n"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
@@ -141,5 +146,8 @@ def pagerank_fixed(
                     + F.expr("(85 * coalesce(s, 0L)) div 100")
                 ).alias("rank"),
             )
+            # materialize each round once: without this, round k's lazy
+            # lineage re-executes every earlier round on each reference
+            .localCheckpoint()
         )
     return ranks
