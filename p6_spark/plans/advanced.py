@@ -1604,3 +1604,69 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_scd2_point_in_time",
+    oracle="""
+WITH hist AS (
+  SELECT user_id, value, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM events WHERE event_type = 'signup' OR event_type = 'purchase'
+),
+probes AS (
+  SELECT unnest([timestamp '2024-01-08 00:00:00',
+                 timestamp '2024-01-15 00:00:00',
+                 timestamp '2024-01-22 00:00:00']) AS probe_ts
+)
+SELECT p.probe_ts, count(*) AS n_users,
+       cast(sum(cast(round(h.value * 100, 0) AS bigint)) AS bigint) AS total_value_x100
+FROM hist h JOIN probes p
+  ON h.valid_from <= p.probe_ts
+ AND (h.valid_to IS NULL OR h.valid_to > p.probe_ts)
+GROUP BY p.probe_ts
+ORDER BY p.probe_ts
+""",
+    doc="SCD2 dimension build + point-in-time lookup — the warehouse "
+    "pattern for 'what was each user's state as of T': validity "
+    "intervals come from one lead() window over the change stream "
+    "(valid_to = next change, NULL = current), then a tiny probe set "
+    "broadcast-range-joins against the open intervals and rolls up "
+    "state-as-of per probe. One user_id shuffle builds the history; "
+    "the interval predicate evaluates map-side against the broadcast "
+    "probes. Amounts cent-scaled for exactness.",
+    tags=("window", "scd2", "range-join", "temporal"),
+)
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    hist = ev.select(
+        "user_id",
+        "value",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    probes = F.broadcast(
+        _t(spark, sf_dir, "events")
+        .sparkSession.createDataFrame(
+            [("2024-01-08",), ("2024-01-15",), ("2024-01-22",)], "probe_ts string"
+        )
+        .select(F.col("probe_ts").cast("timestamp_ntz").alias("probe_ts"))
+    )
+    return (
+        hist.join(
+            probes,
+            (F.col("valid_from") <= F.col("probe_ts"))
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > F.col("probe_ts"))),
+        )
+        .groupBy("probe_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "total_value_x100"
+            ),
+        )
+        .orderBy("probe_ts")
+    )
