@@ -2594,3 +2594,95 @@ def txt_stutter_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size("t") - F.size(kept)).cast("long").alias("n_removed"),
         F.md5(scrubbed).alias("scrubbed_md5"),
     ).orderBy("doc_id")
+
+
+@register(
+    "txt_pmi_bigrams",
+    oracle=f"""
+WITH base AS (
+  SELECT {_SQL_TOKENS} AS t FROM documents
+),
+uni AS (
+  SELECT unnest(t) AS tok FROM base
+),
+ucnt AS (SELECT tok, cast(count(*) AS bigint) AS c FROM uni GROUP BY 1),
+utot AS (SELECT cast(sum(c) AS bigint) AS u FROM ucnt),
+idx AS (
+  SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+  FROM base WHERE len(t) >= 2
+),
+bcnt AS (
+  SELECT t[i] AS l, t[i + 1] AS r, cast(count(*) AS bigint) AS c
+  FROM idx GROUP BY 1, 2
+),
+btot AS (SELECT cast(sum(c) AS bigint) AS b FROM bcnt),
+top AS (
+  SELECT l, r, c FROM bcnt ORDER BY c DESC, l, r LIMIT 30
+)
+SELECT top.l AS left_tok, top.r AS right_tok, top.c AS pair_count,
+       cast(round(ln(top.c) * 1000000, 0) AS bigint)
+       - cast(round(ln(btot.b) * 1000000, 0) AS bigint)
+       - cast(round(ln(cl.c) * 1000000, 0) AS bigint)
+       - cast(round(ln(cr.c) * 1000000, 0) AS bigint)
+       + 2 * cast(round(ln(utot.u) * 1000000, 0) AS bigint) AS pmi_x1e6
+FROM top
+JOIN ucnt cl ON cl.tok = top.l
+JOIN ucnt cr ON cr.tok = top.r
+CROSS JOIN btot CROSS JOIN utot
+ORDER BY pair_count DESC, left_tok, right_tok
+""",
+    doc="Pointwise mutual information for the top bigrams — the classic "
+    "collocation statistic behind phrase mining and tokenizer merge "
+    "scoring: PMI = ln(p(ab)/(p(a)p(b))), decomposed into per-term "
+    "x1e6-snapped ln values summed as integers so both engines agree "
+    "exactly. Unigram and bigram counts each shuffle once on "
+    "vocab-bounded keys; the count totals ride broadcast scalars and "
+    "the top-30 join touches 30 rows.",
+    tags=("text", "statistics", "collocation", "fixed-point"),
+)
+def txt_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6_spark.operators.text import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(_tokens(F.col("text")).alias("t"))
+    uni = base.select(F.explode("t").alias("tok"))
+    ucnt = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    utot = ucnt.agg(F.sum("c").cast("long").alias("u"))
+    pairs = (
+        base.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice("t", 1, F.size("t") - 1),
+                    F.slice("t", 2, F.size("t") - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+    )
+    bcnt = pairs.groupBy("l", "r").agg(F.count(F.lit(1)).alias("c"))
+    btot = bcnt.agg(F.sum("c").cast("long").alias("b"))
+    top = bcnt.orderBy(F.desc("c"), "l", "r").limit(30)
+    ln6 = lambda c: F.round(F.log(c) * 1000000, 0).cast("long")  # noqa: E731
+    cl = ucnt.select(F.col("tok").alias("l"), ln6(F.col("c")).alias("ln_cl"))
+    cr = ucnt.select(F.col("tok").alias("r"), ln6(F.col("c")).alias("ln_cr"))
+    return (
+        top.join(F.broadcast(cl), "l")
+        .join(F.broadcast(cr), "r")
+        .crossJoin(F.broadcast(btot))
+        .crossJoin(F.broadcast(utot))
+        .select(
+            F.col("l").alias("left_tok"),
+            F.col("r").alias("right_tok"),
+            F.col("c").alias("pair_count"),
+            (
+                ln6(F.col("c"))
+                - ln6(F.col("b"))
+                - F.col("ln_cl")
+                - F.col("ln_cr")
+                + 2 * ln6(F.col("u"))
+            ).alias("pmi_x1e6"),
+        )
+        .orderBy(F.desc("pair_count"), "left_tok", "right_tok")
+    )
