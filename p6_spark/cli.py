@@ -131,6 +131,40 @@ def cmd_download(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_run_query(args: argparse.Namespace) -> int:
+    """Run any registered analytics query against a harness SF dir and
+    print the result (table or JSON lines). `p6x run-query --list` shows
+    the full registry with tags."""
+    from p6_spark.plans import QUERIES, get_queries
+
+    get_queries()
+    if args.list:
+        w = max(len(n) for n in QUERIES)
+        for name in sorted(QUERIES):
+            q = QUERIES[name]
+            tags = ",".join(getattr(q, "tags", ()) or ())
+            print(f"{name:<{w}}  {tags}")
+        return 0
+    if not args.name:
+        print("run-query: provide a query name or --list", file=sys.stderr)
+        return 2
+    if args.name not in QUERIES:
+        print(f"unknown query {args.name!r} (see --list)", file=sys.stderr)
+        return 2
+    spark = _build_session()
+    df = QUERIES[args.name].build(spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+        return 0
+    rows = df.limit(args.limit).collect()
+    if args.as_json:
+        for r in rows:
+            print(json.dumps(r.asDict(), default=str))
+    else:
+        df.limit(args.limit).show(args.limit, truncate=False)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="p6x", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -151,6 +185,15 @@ def main(argv: list[str] | None = None) -> int:
     dl.add_argument("--tag", default=None)
     dl.add_argument("-o", "--output-dir", default=".")
     dl.set_defaults(fn=cmd_download)
+
+    rq = sub.add_parser("run-query", help="run a registered analytics query")
+    rq.add_argument("name", nargs="?", default=None)
+    rq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    rq.add_argument("--limit", type=int, default=20)
+    rq.add_argument("--json", dest="as_json", action="store_true")
+    rq.add_argument("--explain", action="store_true", help="print the physical plan")
+    rq.add_argument("--list", action="store_true", help="list registered queries")
+    rq.set_defaults(fn=cmd_run_query)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -116,3 +116,20 @@ def test_download_tag_v_prefixing(tmp_path, capsys):
     assert len(calls) == 1
     assert calls[0].endswith("/download/v2024-04-26/hp.json")
     assert (tmp_path / "hp.json").exists()
+
+
+def test_run_query_list_and_exec(capsys, spark):
+    rc = main(["run-query", "--list"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "q01_pricing_summary" in out and "txt_lm_score" in out
+
+    rc = main(
+        ["run-query", "q_kmv_distinct", "--sf-dir", "/root/testdata/sf0.001", "--json"]
+    )
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    assert len(lines) == 3
+
+    rc = main(["run-query", "nope_not_a_query"])
+    assert rc == 2
