@@ -1670,3 +1670,90 @@ def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_ts")
     )
+
+
+@register(
+    "q_gapfill_locf",
+    oracle="""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket,
+         cast(count(*) AS bigint) AS n,
+         cast(sum(cast(round(value * 100, 0) AS bigint)) AS bigint) AS v_x100
+  FROM events WHERE user_id < 10 GROUP BY 1, 2
+),
+bounds AS (
+  SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM hourly GROUP BY 1
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds
+),
+filled AS (
+  SELECT g.user_id, g.bucket, h.n, h.v_x100,
+         count(h.n) OVER w AS grp
+  FROM grid g LEFT JOIN hourly h USING (user_id, bucket)
+  WINDOW w AS (PARTITION BY g.user_id ORDER BY g.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+locf AS (
+  SELECT user_id, bucket,
+         coalesce(n, 0) AS n,
+         last_value(v_x100 IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_x100_locf,
+         CASE WHEN n IS NULL THEN 1 ELSE 0 END AS is_gap
+  FROM filled
+)
+SELECT user_id,
+       count(*) AS n_buckets,
+       cast(sum(is_gap) AS bigint) AS n_gaps,
+       cast(sum(v_x100_locf) AS bigint) AS locf_sum_x100
+FROM locf GROUP BY user_id ORDER BY user_id
+""",
+    doc="Hypertable gap-fill + LOCF (TimescaleDB time_bucket_gapfill/"
+    "locf): per-user hourly rollup, a dense bucket grid from each "
+    "user's own [min,max] span (sequence explode — map-side), missing "
+    "buckets filled by last-observation-carried-forward via last_value "
+    "IGNORE NULLS. Everything after the first rollup shares the "
+    "user_id partitioning: grid generation, the left join back, and "
+    "the fill window. Amounts cent-scaled; per-user rollup emitted "
+    "(bucket-level output is the same plan minus the final aggregate).",
+    tags=("window", "timeseries", "gapfill", "temporal"),
+)
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("v_x100"),
+    )
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bucket"),
+    )
+    filled = grid.join(hourly, ["user_id", "bucket"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    locf = filled.select(
+        "user_id",
+        "bucket",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.last("v_x100", ignorenulls=True).over(w).alias("v_x100_locf"),
+        F.when(F.col("n").isNull(), 1).otherwise(0).alias("is_gap"),
+    )
+    return (
+        locf.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("is_gap").alias("n_gaps"),
+            F.sum("v_x100_locf").alias("locf_sum_x100"),
+        )
+        .orderBy("user_id")
+    )
