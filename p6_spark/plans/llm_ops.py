@@ -2686,3 +2686,106 @@ def txt_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("pair_count"), "left_tok", "right_tok")
     )
+
+
+@register(
+    "txt_score_calibration",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         len({_SQL_TOKENS}) AS n_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, n_tokens,
+         percent_rank() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS pr
+  FROM scored
+),
+bucketed AS (
+  SELECT source,
+         cast(floor(pr * 10) AS bigint) AS decile
+  FROM ranked
+)
+SELECT source, CASE WHEN decile = 10 THEN 9 ELSE decile END AS decile,
+       count(*) AS n
+FROM bucketed
+GROUP BY 1, 2
+ORDER BY source, decile
+""",
+    doc="Cross-source score calibration by quantile normalization — the "
+    "fix for 'source A's quality scores aren't comparable to source "
+    "B's': replace raw scores with their within-source percent_rank, "
+    "then bucket into deciles (rank ties broken by doc_id so the "
+    "percent_rank is deterministic; the top rank folds into decile 9). "
+    "One shuffle on source for the window, decile rollup reuses it. "
+    "percent_rank = (rank-1)/(n-1) is exact rational arithmetic in "
+    "IEEE doubles for these magnitudes, so both engines bucket "
+    "identically.",
+    tags=("text", "quality", "calibration", "window"),
+)
+def txt_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from p6_spark.operators.text import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    ranked = scored.withColumn("pr", F.percent_rank().over(w))
+    decile = F.floor(F.col("pr") * 10).cast("long")
+    return (
+        ranked.select(
+            "source",
+            F.when(decile == 10, F.lit(9).cast("long")).otherwise(decile).alias("decile"),
+        )
+        .groupBy("source", "decile")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("source", "decile")
+    )
+
+
+@register(
+    "dd_weighted_sample",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, source, n_chars,
+         (('0x' || substr(md5('wsamp42_' || cast(doc_id AS varchar)), 1, 8))::bigint + 1)
+           / 4294967297.0 AS u
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, source, n_chars,
+         ln(u) / n_chars AS key
+  FROM base WHERE n_chars > 0
+)
+SELECT doc_id, source, n_chars
+FROM keyed
+ORDER BY key DESC, doc_id
+LIMIT 50
+""",
+    doc="Deterministic weighted sampling without replacement (Efraimidis-"
+    "Spirakis A-ES): each doc draws u from a seeded md5 uniform and is "
+    "keyed by ln(u)/weight (weight = n_chars); the top-50 keys ARE the "
+    "weighted sample. Identical IEEE arithmetic on both engines (same "
+    "u, same ln, same division) with doc_id tie-break makes the sample "
+    "reproducible cross-engine — no RNG state anywhere. Map-side key "
+    "computation + TakeOrderedAndProject; at 100 TB this is the "
+    "standard one-pass distributed weighted reservoir.",
+    tags=("sampling", "weighted", "deterministic"),
+)
+def dd_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6_spark.operators.text import md5_int
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = (md5_int(F.concat(F.lit("wsamp42_"), F.col("doc_id").cast("string"))) + 1) / F.lit(
+        4294967297.0
+    )
+    keyed = docs.filter(F.col("n_chars") > 0).select(
+        "doc_id", "source", "n_chars", (F.log(u) / F.col("n_chars")).alias("key")
+    )
+    return (
+        keyed.orderBy(F.desc("key"), "doc_id")
+        .limit(50)
+        .select("doc_id", "source", "n_chars")
+    )
