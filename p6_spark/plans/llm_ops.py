@@ -2789,3 +2789,185 @@ def dd_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select("doc_id", "source", "n_chars")
     )
+
+
+@register(
+    "sim_contrastive_pairs",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding::double[],
+                        x -> cast(round(x * 10000, 0) AS bigint)) AS qv
+  FROM embeddings
+),
+el AS (
+  SELECT e.vec_id, e.label, g.i AS pos, qv[g.i] AS v
+  FROM e, generate_series(1, 64) AS g(i)
+),
+q AS (SELECT vec_id, label FROM e WHERE vec_id < 8),
+pos_d AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS match_id,
+         cast(sum((ea.v - eb.v) * (ea.v - eb.v)) AS bigint) AS dist2
+  FROM q a
+  JOIN e b ON b.label = (SELECT label FROM e WHERE vec_id = a.vec_id)
+          AND b.vec_id <> a.vec_id
+  JOIN el ea ON ea.vec_id = a.vec_id
+  JOIN el eb ON eb.vec_id = b.vec_id AND eb.pos = ea.pos
+  GROUP BY 1, 2
+),
+best_pos AS (
+  SELECT query_id, match_id, dist2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist2, match_id) AS rn
+    FROM pos_d
+  ) WHERE rn = 1
+),
+neg AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS match_id,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY ('0x' || substr(md5('neg42_' || cast(a.vec_id AS varchar) || '_'
+                     || cast(b.vec_id AS varchar)), 1, 8))::bigint, b.vec_id) AS rn
+  FROM q a JOIN e b
+    ON b.label <> (SELECT label FROM e WHERE vec_id = a.vec_id)
+),
+picked_neg AS (SELECT query_id, match_id FROM neg WHERE rn <= 3)
+SELECT query_id, 'pos' AS pair_type, match_id, dist2 FROM best_pos
+UNION ALL
+SELECT query_id, 'neg', match_id, NULL FROM picked_neg
+ORDER BY query_id, pair_type DESC, match_id
+""",
+    doc="Contrastive pair mining for embedding training: per query, the "
+    "hardest available positive (nearest same-label neighbor by "
+    "quantized integer L2) and 3 seeded-md5-drawn negatives from other "
+    "labels — deterministic across engines/runs with no RNG state. "
+    "Scale shape: positives ride the label-blocked join "
+    "(dd_embedding_neardup's pattern — quadratic only within blocks); "
+    "negatives are a hash-ranked sample of the complement, computed "
+    "with one window over the (query x non-label) candidate stream. "
+    "The 8-query demo broadcast-joins; a full training run partitions "
+    "queries.",
+    tags=("similarity", "contrastive", "training", "fixed-point"),
+)
+def sim_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from p6_spark.operators.ivf import quantize
+    from p6_spark.operators.text import md5_int
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", quantize(F.col("embedding")).alias("qv"))
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("qv").alias("q_qv"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("q_qv", "qv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pos = (
+        F.broadcast(q)
+        .join(e, (q.q_label == e.label) & (q.query_id != e.vec_id))
+        .select("query_id", F.col("vec_id").alias("match_id"), d2.alias("dist2"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("dist2", "match_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.lit("pos").alias("pair_type"), "match_id", "dist2")
+    )
+    negkey = md5_int(
+        F.concat(
+            F.lit("neg42_"),
+            F.col("query_id").cast("string"),
+            F.lit("_"),
+            F.col("vec_id").cast("string"),
+        )
+    )
+    neg = (
+        F.broadcast(q.select("query_id", "q_label"))
+        .join(e, q.q_label != e.label)
+        .select("query_id", F.col("vec_id").alias("match_id"), negkey.alias("k"))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("query_id").orderBy("k", "match_id")),
+        )
+        .filter(F.col("rn") <= 3)
+        .select(
+            "query_id",
+            F.lit("neg").alias("pair_type"),
+            "match_id",
+            F.lit(None).cast("long").alias("dist2"),
+        )
+    )
+    return pos.unionAll(neg).orderBy("query_id", F.desc("pair_type"), "match_id")
+
+
+@register(
+    "pipe_data_card",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, source, lang, n_chars,
+         md5(text) AS content_md5,
+         len({_SQL_TOKENS}) AS n_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT *, percent_rank() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS pr
+  FROM base
+)
+SELECT source,
+       count(*) AS n_docs,
+       cast(sum(n_tokens) AS bigint) AS total_tokens,
+       count(DISTINCT content_md5) AS n_unique_content,
+       count(*) - count(DISTINCT content_md5) AS n_exact_dups,
+       count(DISTINCT lang) AS n_langs,
+       cast(min(n_tokens) AS bigint) AS min_tokens,
+       cast(max(n_tokens) AS bigint) AS max_tokens,
+       cast(sum(n_tokens) AS bigint) // count(*) AS mean_tokens_trunc,
+       cast(min(CASE WHEN pr >= 0.5 THEN n_tokens END) AS bigint) AS p50_tokens
+FROM ranked
+GROUP BY source
+ORDER BY source
+""",
+    doc="Data card — the per-source corpus summary a dataset release "
+    "ships: volume (docs, tokens), exact-dup rate (distinct content "
+    "md5), language mix, token-length distribution (min/max/trunc-mean "
+    "and the percent_rank-derived median, all integers). One scan, one "
+    "source-partitioned window, one rollup — the whole report is a "
+    "single query over the raw corpus, no intermediate tables.",
+    tags=("pipeline", "report", "statistics"),
+)
+def pipe_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from p6_spark.operators.text import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.md5("text").alias("content_md5"),
+        F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    ranked = base.withColumn("pr", F.percent_rank().over(w))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.countDistinct("content_md5").alias("n_unique_content"),
+            (F.count(F.lit(1)) - F.countDistinct("content_md5")).alias("n_exact_dups"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.expr("sum(n_tokens) div count(1)").alias("mean_tokens_trunc"),
+            F.min(F.when(F.col("pr") >= 0.5, F.col("n_tokens"))).alias("p50_tokens"),
+        )
+        .orderBy("source")
+    )
