@@ -2971,3 +2971,140 @@ def pipe_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "txt_nb_langid",
+    oracle=f"""
+WITH pairs AS (
+  SELECT doc_id, tok, cast(count(*) AS bigint) AS c FROM (
+    SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents
+  ) GROUP BY 1, 2
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::bigint % 4096 AS bucket, c
+  FROM pairs
+),
+actual AS (SELECT doc_id, lang FROM documents),
+cls AS (
+  SELECT h.bucket, a.lang, cast(sum(h.c) AS bigint) AS c
+  FROM hashed h JOIN actual a USING (doc_id)
+  GROUP BY 1, 2
+),
+cls_tot AS (
+  SELECT lang, cast(sum(c) AS bigint) AS tot,
+         cast(count(DISTINCT 1) AS bigint) AS _one
+  FROM cls GROUP BY lang
+),
+prior AS (
+  SELECT lang, cast(count(*) AS bigint) AS nd FROM actual GROUP BY 1
+),
+n_all AS (SELECT cast(count(*) AS bigint) AS n FROM actual),
+langs AS (SELECT DISTINCT lang FROM actual),
+scored AS (
+  SELECT h.doc_id, l.lang,
+         cast(sum(h.c * (
+           cast(round(ln(coalesce(cl.c, 0) + 1) * 1000000, 0) AS bigint)
+           - cast(round(ln(ct.tot + 4096) * 1000000, 0) AS bigint)
+         )) AS bigint) AS like_score
+  FROM hashed h
+  CROSS JOIN langs l
+  LEFT JOIN cls cl ON cl.bucket = h.bucket AND cl.lang = l.lang
+  JOIN cls_tot ct ON ct.lang = l.lang
+  GROUP BY 1, 2
+),
+full_score AS (
+  SELECT s.doc_id, s.lang,
+         s.like_score
+         + cast(round(ln(p.nd) * 1000000, 0) AS bigint)
+         - cast(round(ln(n_all.n) * 1000000, 0) AS bigint) AS score
+  FROM scored s JOIN prior p ON p.lang = s.lang CROSS JOIN n_all
+),
+pred AS (
+  SELECT doc_id, lang AS pred_lang FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+    FROM full_score
+  ) WHERE rn = 1
+)
+SELECT a.lang AS actual_lang, p.pred_lang, count(*) AS n
+FROM actual a JOIN pred p USING (doc_id)
+GROUP BY 1, 2
+ORDER BY actual_lang, pred_lang
+""",
+    doc="Naive-Bayes language classifier, trained and applied in one "
+    "query, certified cross-engine: hashed-token features (4096 "
+    "buckets), Laplace-smoothed per-class log-likelihoods and priors "
+    "all snapped to x1e6 bigints, argmax with a deterministic "
+    "tie-break, confusion matrix out. An actual ML train+predict loop "
+    "whose every number has an exact DuckDB twin. Scale shape: class "
+    "stats are (4096 x n_classes) — broadcast-sized for any corpus; "
+    "scoring expands (doc,bucket) x classes, the standard bounded NB "
+    "join; one doc-keyed window picks the argmax.",
+    tags=("text", "ml", "classifier", "fixed-point"),
+)
+def txt_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from p6_spark.operators.text import md5_int
+    from p6_spark.operators.text import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    hashed = pairs.select(
+        "doc_id", (md5_int(F.col("tok")) % 4096).alias("bucket"), F.col("c").alias("tc")
+    )
+    actual = docs.select("doc_id", "lang")
+    cls = (
+        hashed.join(actual, "doc_id")
+        .groupBy("bucket", "lang")
+        .agg(F.sum("tc").alias("cc"))
+    )
+    cls_tot = cls.groupBy("lang").agg(F.sum("cc").alias("tot"))
+    prior = actual.groupBy("lang").agg(F.count(F.lit(1)).alias("nd"))
+    n_all = actual.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    langs = actual.select("lang").distinct()
+    ln6 = lambda c: F.round(F.log(c) * 1000000, 0).cast("long")  # noqa: E731
+    scored = (
+        hashed.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(cls), ["bucket", "lang"], "left")
+        .join(F.broadcast(cls_tot), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.col("tc")
+                * (ln6(F.coalesce(F.col("cc"), F.lit(0)) + 1) - ln6(F.col("tot") + 4096))
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("term").alias("like_score"))
+    )
+    full = (
+        scored.join(F.broadcast(prior), "lang")
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "doc_id",
+            "lang",
+            (F.col("like_score") + ln6(F.col("nd")) - ln6(F.col("n"))).alias("score"),
+        )
+    )
+    pred = (
+        full.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"))
+    )
+    return (
+        actual.join(pred, "doc_id")
+        .groupBy(F.col("lang").alias("actual_lang"), "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("actual_lang", "pred_lang")
+    )
