@@ -3108,3 +3108,79 @@ def txt_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("actual_lang", "pred_lang")
     )
+
+
+@register(
+    "q_graph_triangles",
+    oracle=f"""
+WITH {_sql_minhash_sig('TRUE')},
+bands AS (
+  SELECT doc_id, 0 AS band_idx, cast(h0 AS varchar) || '_' || cast(h1 AS varchar) AS band_val FROM sig
+  UNION ALL
+  SELECT doc_id, 1, cast(h2 AS varchar) || '_' || cast(h3 AS varchar) FROM sig
+  UNION ALL
+  SELECT doc_id, 2, cast(h4 AS varchar) || '_' || cast(h5 AS varchar) FROM sig
+  UNION ALL
+  SELECT doc_id, 3, cast(h6 AS varchar) || '_' || cast(h7 AS varchar) FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+),
+deg AS (
+  SELECT node, cast(count(*) AS bigint) AS degree FROM (
+    SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs
+  ) GROUP BY node
+),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM pairs e1
+  JOIN pairs e2 ON e2.u = e1.v
+  JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT (SELECT count(*) FROM pairs) AS n_edges,
+       (SELECT count(*) FROM deg) AS n_nodes,
+       (SELECT max(degree) FROM deg) AS max_degree,
+       (SELECT n_triangles FROM tri) AS n_triangles
+""",
+    doc="Triangle counting + degree stats over the MinHash-LSH candidate "
+    "graph — the standard duplicate-graph density audit (many triangles "
+    "= dense near-dup clusters; the greedy pair-drop rule over-/under-"
+    "drops exactly there). Oriented edge list (u<v) joined twice: "
+    "e1(u,v) x e2(v,w) closed by e3(u,w) — each triangle counted once. "
+    "Two shuffles on node ids; degree skew is the known hazard and the "
+    "oriented orientation (low id -> high id) is the classic mitigation "
+    "(wedge work lands on low-degree endpoints).",
+    tags=("graph", "triangles", "dedup"),
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs)
+    pairs = dd.lsh_candidate_pairs(sigs).select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    )
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    e1 = pairs
+    e2 = pairs.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    e3 = pairs.select(F.col("u").alias("u3"), F.col("v").alias("w3"))
+    tri = (
+        e1.join(e2, "v")
+        .join(e3, (F.col("u") == F.col("u3")) & (F.col("w") == F.col("w3")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    stats = pairs.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        F.broadcast(
+            deg.agg(
+                F.count(F.lit(1)).alias("n_nodes"), F.max("degree").alias("max_degree")
+            )
+        )
+    )
+    return stats.crossJoin(F.broadcast(tri)).select(
+        "n_edges", "n_nodes", "max_degree", "n_triangles"
+    )
