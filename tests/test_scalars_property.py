@@ -81,3 +81,43 @@ def test_normalize_time_like_matches_reference(spark, vals):
         r["y"] for r in df.select(normalize_time_like(F.col("x")).alias("y")).collect()
     ]
     assert got == [ref_normalize_time_like(v) for v in vals]
+
+
+def test_trunc_div_matches_spark_and_duckdb():
+    """The fixed-point family's cross-engine foundation: Python
+    _trunc_div == Spark `div` == DuckDB `//` on signed bigints."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from p6_spark.operators.ivf import _trunc_div
+
+    con = duckdb.connect()
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        s=st.integers(min_value=-(2**40), max_value=2**40),
+        n=st.integers(min_value=1, max_value=2**20),
+    )
+    def check(s, n):
+        duck = con.execute(
+            "select cast(? as bigint) // cast(? as bigint)", [s, n]
+        ).fetchone()[0]
+        assert _trunc_div(s, n) == duck
+
+    check()
+
+
+def test_trunc_div_matches_spark_div(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from p6_spark.operators.ivf import _trunc_div
+
+    rng = random.Random(42)
+    rows = [(rng.randint(-(2**40), 2**40), rng.randint(1, 2**20)) for _ in range(500)]
+    df = spark.createDataFrame(rows, "s long, n long")
+    got = df.select(F.expr("s div n").alias("q"), "s", "n").collect()
+    for r in got:
+        assert r["q"] == _trunc_div(r["s"], r["n"])
