@@ -3184,3 +3184,39 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.crossJoin(F.broadcast(tri)).select(
         "n_edges", "n_nodes", "max_degree", "n_triangles"
     )
+
+
+@register(
+    "q_incremental_monthly",
+    oracle="""
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+       o_orderpriority,
+       count(*) AS n_orders,
+       cast(sum(cast(round(o_totalprice * 100, 0) AS bigint)) AS bigint) AS cents
+FROM orders
+GROUP BY 1, 2
+ORDER BY month, o_orderpriority
+""",
+    doc="Incremental MV maintenance, certified: the monthly rollup is "
+    "computed the INCREMENTAL way — daily partial aggregates "
+    "(operators/incremental.daily_order_partials) re-aggregated to "
+    "months, never touching the fact twice — while the oracle computes "
+    "it DIRECT from the fact table. Equality is precisely the "
+    "mergeability theorem the 100 TB never-re-scan-history pattern "
+    "rests on (cent-scaled bigint sums merge exactly; the HLL distinct "
+    "sketch column is pytest-pinned separately since sketch bytes are "
+    "engine-specific).",
+    tags=("incremental", "mv", "agg"),
+)
+def q_incremental_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6_spark.operators.incremental import daily_order_partials
+
+    orders = load_table(spark, sf_dir, "orders")
+    partials = daily_order_partials(orders).drop("cust_sketch")
+    return (
+        partials.groupBy(
+            F.substring("day", 1, 7).alias("month"), "o_orderpriority"
+        )
+        .agg(F.sum("n_orders").alias("n_orders"), F.sum("cents").alias("cents"))
+        .orderBy("month", "o_orderpriority")
+    )
