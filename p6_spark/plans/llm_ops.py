@@ -3220,3 +3220,57 @@ def q_incremental_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n_orders").alias("n_orders"), F.sum("cents").alias("cents"))
         .orderBy("month", "o_orderpriority")
     )
+
+
+@register(
+    "dd_levenshtein_pairs",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, source, substr(text, 1, 40) AS pfx
+  FROM documents WHERE text IS NOT NULL
+),
+pairs AS (
+  SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+         levenshtein(a.pfx, b.pfx) AS dist
+  FROM p a JOIN p b ON a.source = b.source AND a.doc_id < b.doc_id
+)
+SELECT source,
+       count(*) AS n_pairs,
+       count(*) FILTER (WHERE dist <= 10) AS n_close,
+       cast(min(dist) AS bigint) AS min_dist
+FROM pairs
+GROUP BY source ORDER BY source
+""",
+    doc="Edit-distance near-dup for SHORT fields (titles, names, URLs — "
+    "modeled by 40-char prefixes): classic Levenshtein inside "
+    "source-blocked pairs, per-block close-pair counts. Both engines "
+    "implement the same textbook DP, probe-verified identical. The "
+    "blocking keeps the quadratic comparison inside blocks (the "
+    "dd_embedding_neardup pattern); Levenshtein cost is bounded by the "
+    "40-char cap — the right tool for short-field record linkage, NOT "
+    "full documents (that is what MinHash is for).",
+    tags=("dedup", "levenshtein", "blocking"),
+)
+def dd_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    p = docs.select("doc_id", "source", F.substring("text", 1, 40).alias("pfx"))
+    a = p.select(
+        F.col("source"), F.col("doc_id").alias("id_a"), F.col("pfx").alias("pfx_a")
+    )
+    b = p.select(
+        F.col("source").alias("source_b"),
+        F.col("doc_id").alias("id_b"),
+        F.col("pfx").alias("pfx_b"),
+    )
+    pairs = a.join(
+        b, (F.col("source") == F.col("source_b")) & (F.col("id_a") < F.col("id_b"))
+    ).select("source", F.levenshtein("pfx_a", "pfx_b").alias("dist"))
+    return (
+        pairs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count(F.when(F.col("dist") <= 10, 1)).alias("n_close"),
+            F.min("dist").cast("long").alias("min_dist"),
+        )
+        .orderBy("source")
+    )
