@@ -1757,3 +1757,75 @@ def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q_rolling_zscore",
+    oracle="""
+WITH v AS (
+  SELECT event_type, ts, event_id,
+         cast(round(value * 100, 0) AS bigint) AS x
+  FROM events WHERE value IS NOT NULL
+),
+w AS (
+  SELECT event_type, ts, event_id, x,
+         cast(count(*) OVER win AS bigint) AS n,
+         cast(sum(x) OVER win AS bigint) AS s,
+         cast(sum(x * x) OVER win AS bigint) AS ss
+  FROM v
+  WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type,
+       count(*) AS n_points,
+       count(*) FILTER (
+         WHERE n >= 10
+           AND (n * x - s) * (n * x - s) * 1 > 9 * (n * ss - s * s)
+       ) AS n_anomalies
+FROM w
+GROUP BY event_type
+ORDER BY event_type
+""",
+    doc="Rolling z-score anomaly detection (|z| > 3 against a 50-point "
+    "trailing window) entirely in integer space: values cent-scaled, "
+    "rolling count/sum/sum-of-squares are exact bigint window "
+    "aggregates, and the z test is cross-multiplied — "
+    "(n*x - s)^2 > 9*(n*ss - s^2) is |x-mean| > 3*stddev without a "
+    "single division or sqrt, so the flags are bit-identical on any "
+    "engine. One event_type shuffle serves the window and the rollup. "
+    "The monitoring-pipeline classic, warm-up guarded (n >= 10).",
+    tags=("window", "anomaly", "statistics", "fixed-point"),
+)
+def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("x"),
+    )
+    win = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-49, W.currentRow)
+    )
+    w = v.select(
+        "event_type",
+        "x",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum("x").over(win).alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(win).alias("ss"),
+    )
+    anom = (F.col("n") >= 10) & (
+        (F.col("n") * F.col("x") - F.col("s"))
+        * (F.col("n") * F.col("x") - F.col("s"))
+        > 9 * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+    )
+    return (
+        w.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.count(F.when(anom, 1)).alias("n_anomalies"),
+        )
+        .orderBy("event_type")
+    )
