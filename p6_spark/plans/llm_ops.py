@@ -3274,3 +3274,59 @@ def dd_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "txt_skipgram_pairs",
+    oracle=f"""
+WITH base AS (
+  SELECT {_SQL_TOKENS} AS t FROM documents
+),
+idx AS (
+  SELECT t, unnest(generate_series(1, len(t))) AS i
+  FROM base WHERE len(t) >= 2
+),
+offs AS (SELECT unnest([1, 2, 3]) AS k),
+pairs AS (
+  SELECT t[i] AS center, t[i + k] AS context
+  FROM idx, offs
+  WHERE i + k <= len(t)
+)
+SELECT center, context, cast(count(*) AS bigint) AS n
+FROM pairs
+GROUP BY 1, 2
+ORDER BY n DESC, center, context
+LIMIT 30
+""",
+    doc="Skip-gram (center, context) pair extraction with window 3 — the "
+    "word2vec/GloVe co-occurrence data-prep pass, generalizing "
+    "txt_bpe_pairs' adjacency to a context window. Each position "
+    "zips against three shifted copies of its own array (map-side, no "
+    "join, no Python); the single shuffle carries vocab^2-bounded pair "
+    "keys with map-side partial counts. Forward-only pairs (the "
+    "symmetric count doubles them) keep the count canonical.",
+    tags=("text", "skipgram", "embedding-prep"),
+)
+def txt_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6_spark.operators.text import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(_tokens(F.col("text")).alias("t")).filter(F.size("t") >= 2)
+    n = F.size("t")
+    pair_arrays = [
+        F.zip_with(
+            F.slice("t", 1, F.greatest(n - k, F.lit(0))),
+            F.slice("t", 1 + k, F.greatest(n - k, F.lit(0))),
+            lambda a, b: F.struct(a.alias("center"), b.alias("context")),
+        )
+        for k in (1, 2, 3)
+    ]
+    pairs = base.select(
+        F.explode(F.concat(*pair_arrays)).alias("p")
+    ).select(F.col("p.center").alias("center"), F.col("p.context").alias("context"))
+    return (
+        pairs.groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "center", "context")
+        .limit(30)
+    )
