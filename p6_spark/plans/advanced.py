@@ -1829,3 +1829,57 @@ def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_rate_burst",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS sec
+  FROM events
+),
+windowed AS (
+  SELECT user_id, event_id,
+         cast(count(*) OVER (PARTITION BY user_id ORDER BY sec
+                             RANGE BETWEEN 59 PRECEDING AND CURRENT ROW) AS bigint) AS burst
+  FROM e
+),
+peaks AS (
+  SELECT user_id, max(burst) AS peak_per_min, count(*) AS n_events
+  FROM windowed GROUP BY user_id
+)
+SELECT user_id, peak_per_min, n_events
+FROM peaks
+ORDER BY peak_per_min DESC, user_id
+LIMIT 20
+""",
+    doc="Burst / rate-spike detection: each event's trailing-60-second "
+    "count via an event-time RANGE frame over epoch seconds (exact "
+    "integer ordering — no timestamp arithmetic in the frame), per-user "
+    "peak rate, top-20 burstiest users. The abuse/rate-limit monitoring "
+    "primitive. One user_id shuffle serves the range window and the "
+    "peak rollup; top-k is TakeOrderedAndProject.",
+    tags=("window", "range-frame", "events", "monitoring"),
+)
+def q_rate_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1000000))
+        .cast("long")
+        .alias("sec"),
+    )
+    win = W.partitionBy("user_id").orderBy("sec").rangeBetween(-59, 0)
+    windowed = e.select(
+        "user_id", F.count(F.lit(1)).over(win).alias("burst")
+    )
+    return (
+        windowed.groupBy("user_id")
+        .agg(
+            F.max("burst").alias("peak_per_min"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy(F.desc("peak_per_min"), "user_id")
+        .limit(20)
+    )
