@@ -1883,3 +1883,67 @@ def q_rate_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("peak_per_min"), "user_id")
         .limit(20)
     )
+
+
+@register(
+    "q_skew_profile",
+    oracle="""
+WITH freq AS (
+  SELECT l_suppkey AS key, cast(count(*) AS bigint) AS c
+  FROM lineitem GROUP BY 1
+),
+stats AS (
+  SELECT cast(count(*) AS bigint) AS n_keys,
+         cast(sum(c) AS bigint) AS n_rows,
+         cast(max(c) AS bigint) AS max_c
+  FROM freq
+),
+top AS (
+  SELECT key, c, row_number() OVER (ORDER BY c DESC, key) AS rn FROM freq
+)
+SELECT t.rn AS rank, t.key, t.c AS key_rows,
+       s.n_keys, s.n_rows,
+       (t.c * s.n_keys * 1000000) // s.n_rows AS skew_x1e6
+FROM top t CROSS JOIN stats s
+WHERE t.rn <= 10
+ORDER BY rank
+""",
+    doc="Join-key skew profiler — the measurement behind the "
+    "salt-or-not decision (operators/skew.py): per-key frequencies of "
+    "the join column, the top-10 hottest keys, and each key's skew "
+    "ratio freq/avg as an exact x1e6 integer (freq * n_keys / n_rows "
+    "cross-multiplied). A skew ratio near 1e6 is uniform; 10x that "
+    "means AQE skew-split or salting. One key-grouped aggregate, "
+    "scalar stats broadcast back, top-10 via TakeOrderedAndProject.",
+    tags=("skew", "profiling", "agg"),
+)
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    freq = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    stats = freq.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_c"),
+    )
+    top = (
+        freq.orderBy(F.desc("c"), "key")
+        .limit(10)
+        .withColumn(
+            "rank",
+            F.row_number().over(W.orderBy(F.desc("c"), F.asc("key"))),
+        )
+    )
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .select(
+            "rank",
+            "key",
+            F.col("c").alias("key_rows"),
+            "n_keys",
+            "n_rows",
+            F.expr("(c * n_keys * 1000000) div n_rows").alias("skew_x1e6"),
+        )
+        .orderBy("rank")
+    )
