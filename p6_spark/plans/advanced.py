@@ -1947,3 +1947,58 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+@register(
+    "q_yoy_growth",
+    oracle="""
+WITH yearly AS (
+  SELECT l_suppkey AS suppkey, year(l_shipdate) AS yr,
+         cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS bigint)) AS bigint) AS rev_x1e4
+  FROM lineitem GROUP BY 1, 2
+),
+with_prev AS (
+  SELECT suppkey, yr, rev_x1e4,
+         lag(rev_x1e4) OVER (PARTITION BY suppkey ORDER BY yr) AS prev_x1e4
+  FROM yearly
+),
+growth AS (
+  SELECT suppkey, yr, rev_x1e4, prev_x1e4,
+         ((rev_x1e4 - prev_x1e4) * 1000000) // prev_x1e4 AS growth_x1e6
+  FROM with_prev WHERE prev_x1e4 > 0
+)
+SELECT suppkey, yr, rev_x1e4, prev_x1e4, growth_x1e6
+FROM growth
+ORDER BY growth_x1e6 DESC, suppkey, yr
+LIMIT 15
+""",
+    doc="Year-over-year growth movers: per-supplier yearly revenue in "
+    "exact x1e4 bigints, the previous year attached by one lag window, "
+    "growth as an integer ppm ratio (delta * 1e6 / prev, trunc div — "
+    "no float anywhere), top-15 gainers. The BI staple; one "
+    "(suppkey, yr) aggregate, the lag reuses the suppkey partitioning, "
+    "top-k via TakeOrderedAndProject.",
+    tags=("window", "agg", "bi", "fixed-point"),
+)
+def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("long")
+    yearly = li.groupBy(
+        F.col("l_suppkey").alias("suppkey"), F.year("l_shipdate").alias("yr")
+    ).agg(F.sum(rev).alias("rev_x1e4"))
+    w = W.partitionBy("suppkey").orderBy("yr")
+    growth = (
+        yearly.withColumn("prev_x1e4", F.lag("rev_x1e4").over(w))
+        .filter(F.col("prev_x1e4") > 0)
+        .withColumn(
+            "growth_x1e6",
+            F.expr("((rev_x1e4 - prev_x1e4) * 1000000) div prev_x1e4"),
+        )
+    )
+    return (
+        growth.select("suppkey", "yr", "rev_x1e4", "prev_x1e4", "growth_x1e6")
+        .orderBy(F.desc("growth_x1e6"), "suppkey", "yr")
+        .limit(15)
+    )
