@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from p6_spark.operators.text import md5_int, tokens
+from p6_spark.plans.llm_ops import _sql_minhash_sig
 from p6_spark.plans.registry import register
 from p6_spark.sources.tables import load_table
 
@@ -280,3 +281,98 @@ def dd_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition of the near-dup candidate graph
+# ---------------------------------------------------------------------------
+
+
+def _sql_kcore_round(prev_edges: str, r: int, k: int) -> str:
+    """One peeling round: degrees over prev edge set, keep nodes with
+    degree >= k, keep edges whose both endpoints survive."""
+    return f"""
+d{r} AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT u AS node FROM {prev_edges} UNION ALL SELECT v FROM {prev_edges}
+  ) GROUP BY node
+),
+k{r} AS (SELECT node FROM d{r} WHERE deg >= {k}),
+e{r} AS (
+  SELECT u, v FROM {prev_edges}
+  WHERE u IN (SELECT node FROM k{r}) AND v IN (SELECT node FROM k{r})
+)"""
+
+
+@register(
+    "q_graph_kcore",
+    oracle=(
+        "WITH "
+        + _sql_minhash_sig("TRUE").lstrip().lstrip("\n")
+        + """,
+bands AS (
+  SELECT doc_id, 0 AS band_idx, cast(h0 AS varchar) || '_' || cast(h1 AS varchar) AS band_val FROM sig
+  UNION ALL SELECT doc_id, 1, cast(h2 AS varchar) || '_' || cast(h3 AS varchar) FROM sig
+  UNION ALL SELECT doc_id, 2, cast(h4 AS varchar) || '_' || cast(h5 AS varchar) FROM sig
+  UNION ALL SELECT doc_id, 3, cast(h6 AS varchar) || '_' || cast(h7 AS varchar) FROM sig
+),
+e0 AS (
+  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+),"""
+        + _sql_kcore_round("e0", 1, 2)
+        + ","
+        + _sql_kcore_round("e1", 2, 2)
+        + ","
+        + _sql_kcore_round("e2", 3, 2)
+        + """
+SELECT * FROM (
+  SELECT 1 AS round, (SELECT count(*) FROM k1) AS n_nodes, (SELECT count(*) FROM e1) AS n_edges
+  UNION ALL
+  SELECT 2, (SELECT count(*) FROM k2), (SELECT count(*) FROM e2)
+  UNION ALL
+  SELECT 3, (SELECT count(*) FROM k3), (SELECT count(*) FROM e3)
+) ORDER BY round
+"""
+    ),
+    doc="2-core peeling of the MinHash-LSH candidate graph, 3 unrolled "
+    "rounds: drop degree-<2 nodes, drop their edges, repeat. The "
+    "surviving core is where transitive near-dup clusters live (tree-ish "
+    "spurious candidates peel away) — the standard pre-filter before "
+    "running connected components at corpus scale. Each round is one "
+    "degree aggregate + two semi joins on node ids; round count is fixed "
+    "so the whole decomposition is a static 3-stage plan, no driver "
+    "iteration. Emits (round, n_nodes, n_edges) so convergence is "
+    "visible in the result.",
+    tags=("graph", "dedup", "iterative"),
+)
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6_spark.operators import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = dd.lsh_candidate_pairs(dd.minhash_signatures(docs)).select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    )
+    stats = []
+    cur = edges
+    for r in (1, 2, 3):
+        deg = (
+            cur.select(F.col("u").alias("node"))
+            .unionAll(cur.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= 2).select("node")
+        cur = (
+            cur.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+        )
+        stats.append(
+            keep.agg(F.count(F.lit(1)).alias("n_nodes"))
+            .crossJoin(cur.agg(F.count(F.lit(1)).alias("n_edges")))
+            .select(F.lit(r).alias("round"), "n_nodes", "n_edges")
+        )
+    out = stats[0].unionByName(stats[1]).unionByName(stats[2])
+    return out.orderBy("round")
