@@ -62,6 +62,15 @@ HEADLINE = [
     "q_graph_pagerank",
     "sim_gram_matrix",
     "q_kmv_distinct",
+    # round-3 continuation: analytics / in-engine ML / retrieval
+    "q_ohlc_bars",
+    "q_zorder_layout",
+    "ml_linreg",
+    "ml_decision_stump",
+    "q_gini_concentration",
+    "dd_bloom_probe",
+    "txt_inverted_index",
+    "er_sorted_neighborhood",
 ]
 
 

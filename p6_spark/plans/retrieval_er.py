@@ -291,14 +291,19 @@ def dd_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_kcore_round(prev_edges: str, r: int, k: int) -> str:
     """One peeling round: degrees over prev edge set, keep nodes with
     degree >= k, keep edges whose both endpoints survive."""
+    # MATERIALIZED: DuckDB inlines CTEs by default, so each reference to
+    # the previous edge set would re-run the whole LSH self-join chain —
+    # at sf0.1 that recomputation spills tens of GB. Materializing each
+    # round pins the oracle to the same once-per-round evaluation the
+    # Spark side does.
     return f"""
-d{r} AS (
+d{r} AS MATERIALIZED (
   SELECT node, count(*) AS deg FROM (
     SELECT u AS node FROM {prev_edges} UNION ALL SELECT v FROM {prev_edges}
   ) GROUP BY node
 ),
-k{r} AS (SELECT node FROM d{r} WHERE deg >= {k}),
-e{r} AS (
+k{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= {k}),
+e{r} AS MATERIALIZED (
   SELECT u, v FROM {prev_edges}
   WHERE u IN (SELECT node FROM k{r}) AND v IN (SELECT node FROM k{r})
 )"""
@@ -316,7 +321,7 @@ bands AS (
   UNION ALL SELECT doc_id, 2, cast(h4 AS varchar) || '_' || cast(h5 AS varchar) FROM sig
   UNION ALL SELECT doc_id, 3, cast(h6 AS varchar) || '_' || cast(h7 AS varchar) FROM sig
 ),
-e0 AS (
+e0 AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id

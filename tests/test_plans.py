@@ -274,3 +274,59 @@ def test_lm_score_vocab_broadcasts(spark, sf_dir):
     # a sort-merge join on token would shuffle the exploded corpus twice
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bloom_bits_broadcast(spark, sf_dir):
+    # the <=4096-row set-bit table must broadcast onto the probe stream;
+    # a shuffle join on bit position would repartition every probe row
+    plan = plan_of(QUERIES["dd_bloom_probe"].build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_knn_probe_batch_broadcasts(spark, sf_dir):
+    # kNN scoring: the tiny query batch broadcasts (nested-loop against
+    # the streamed corpus); the corpus itself must not CartesianProduct
+    plan = plan_of(QUERIES["ml_knn_label"].build(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_linreg_is_single_aggregate_pass(spark, sf_dir):
+    # OLS via normal equations: ONE scan of lineitem, one partial+final
+    # aggregate, no join and no window anywhere
+    plan = plan_of(QUERIES["ml_linreg"].build(spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_stump_single_scan_cumulative(spark, sf_dir):
+    # every threshold scored from one scan: per-qty agg then windows;
+    # no per-threshold rescan (lineitem read exactly once), no join
+    plan = plan_of(QUERIES["ml_decision_stump"].build(spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
+    assert "Join" not in plan
+
+
+def test_zorder_is_map_side_only(spark, sf_dir):
+    # Morton coding is pure projection: scan -> project -> one aggregate;
+    # no join, no window, no second scan
+    plan = plan_of(QUERIES["q_zorder_layout"].build(spark, sf_dir))
+    assert plan.count("orders.parquet") == 1
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_bpe_merge_argmax_broadcasts(spark, sf_dir):
+    # the 1-row argmax pair attaches by broadcast; match filtering must
+    # be a broadcast hash join against the pair stream, never a shuffle
+    plan = plan_of(QUERIES["txt_bpe_merge_step"].build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_column_profile_single_scan(spark, sf_dir):
+    # all six column profiles come from ONE scan (multi-aggregate +
+    # stack unpivot), not one scan per column like the oracle spec
+    plan = plan_of(QUERIES["pipe_column_profile"].build(spark, sf_dir))
+    assert plan.count("orders.parquet") == 1
