@@ -210,8 +210,10 @@ FROM summed
     "test (its normalization U/(na*nb) IS the AUC). Tie-averaged ranks "
     "kept exact by doubling: avg rank x2 = 2*prior + cnt + 1, an "
     "integer; the rank sum accumulates in HUGEINT/decimal(38,0). "
-    "Per-distinct-value pre-aggregation bounds the ranking window; one "
-    "sort-shuffle total, same skeleton as the KS test.",
+    "Per-distinct-value pre-aggregation bounds the input; the rank "
+    "prefix is a TWO-PHASE distributed scan (per-bucket totals -> tiny "
+    "bucket-prefix window -> within-bucket windows in parallel), so no "
+    "global single-partition Window exists anywhere in the plan.",
     tags=("stats", "nonparametric", "window", "fixed-point"),
 )
 def q_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -223,14 +225,32 @@ def q_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_v = vals.groupBy("v").agg(
         F.count(F.lit(1)).alias("cnt"), F.sum("is_a").alias("cnt_a")
     )
-    wp = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    # Two-phase distributed prefix sum: a global ORDER BY v window would
+    # run single-partition. Instead: coarse value buckets -> per-bucket
+    # totals (tiny table; its prefix window is cheap) -> within-bucket
+    # prior (window partitioned by bucket, fully parallel) + the bucket
+    # prefix offset. Exact same 'prior' as the global window.
+    per_v = per_v.withColumn("bkt", F.expr("v div 16777216"))
+    per_bucket = per_v.groupBy("bkt").agg(
+        F.sum("cnt").alias("bcnt"), F.sum("cnt_a").alias("bcnt_a")
+    )
+    wb = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
     wt = W.partitionBy()
-    ranked = per_v.select(
+    prefixes = per_bucket.select(
+        "bkt",
+        F.coalesce(F.sum("bcnt").over(wb), F.lit(0)).alias("bprior"),
+        F.sum("bcnt").over(wt).alias("n"),
+        F.sum("bcnt_a").over(wt).alias("na"),
+    )
+    wv = W.partitionBy("bkt").orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    ranked = per_v.join(F.broadcast(prefixes), "bkt").select(
         "cnt",
         "cnt_a",
-        F.coalesce(F.sum("cnt").over(wp), F.lit(0)).alias("prior"),
-        F.sum("cnt").over(wt).alias("n"),
-        F.sum("cnt_a").over(wt).alias("na"),
+        (
+            F.coalesce(F.sum("cnt").over(wv), F.lit(0)) + F.col("bprior")
+        ).alias("prior"),
+        "n",
+        "na",
     )
     summed = ranked.agg(
         F.min("na").alias("na"),

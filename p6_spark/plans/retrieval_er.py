@@ -35,12 +35,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "er_sorted_neighborhood",
     oracle=f"""
 WITH toks AS (
-  SELECT doc_id, n_chars, list_sort(list_distinct({_SQL_TOKENS})) AS toks
+  SELECT doc_id, n_chars, n_chars // 16 AS blk,
+         list_sort(list_distinct({_SQL_TOKENS})) AS toks
   FROM documents
 ),
 ordered AS (
-  SELECT doc_id, n_chars, toks,
-         row_number() OVER (ORDER BY n_chars, doc_id) AS pos
+  SELECT doc_id, n_chars, blk, toks,
+         row_number() OVER (PARTITION BY blk ORDER BY n_chars, doc_id) AS pos
   FROM toks
 ),
 pairs AS (
@@ -49,7 +50,7 @@ pairs AS (
          len(list_intersect(a.toks, b.toks)) AS overlap,
          len(a.toks) AS na, len(b.toks) AS nb
   FROM ordered a JOIN ordered b
-    ON b.pos BETWEEN a.pos + 1 AND a.pos + 3
+    ON a.blk = b.blk AND b.pos BETWEEN a.pos + 1 AND a.pos + 3
 )
 SELECT doc_a, doc_b, chars_a, chars_b, overlap,
        cast((overlap::HUGEINT * 1000000) // (na + nb - overlap) AS bigint) AS jacc_x1e6
@@ -57,13 +58,18 @@ FROM pairs
 WHERE (overlap * 1000000) // (na + nb - overlap) >= 500000
 ORDER BY jacc_x1e6 DESC, doc_a, doc_b
 """,
-    doc="Sorted-neighborhood entity resolution: documents are sorted by a "
-    "cheap blocking key (length, then id for a total order) and each row "
-    "is compared only to its next 3 neighbors — O(n*w) comparisons "
-    "instead of O(n^2), the classic windowed-blocking alternative to "
-    "LSH. Candidate pairs with distinct-token Jaccard >= 0.5 survive. "
-    "At scale this is ONE range-partitioned sort; the lead() window "
-    "never shuffles again. Jaccard in x1e6 integer trunc-division.",
+    doc="Sorted-neighborhood entity resolution, block-local: documents "
+    "partition into 16-char length blocks and are sorted WITHIN each "
+    "block (length, then id for a total order); each row compares only "
+    "to its next 3 in-block neighbors — O(n*w) comparisons instead of "
+    "O(n^2), the classic windowed-blocking alternative to LSH. The "
+    "block partitioning keeps the sort window parallel (no global "
+    "single-partition Window — each block sorts independently, exactly "
+    "how multi-pass sorted-neighborhood shards at 100 TB; cross-block "
+    "near-boundary pairs are the documented blocking tradeoff, "
+    "recovered in practice by a second pass on a different key). "
+    "Candidate pairs with distinct-token Jaccard >= 0.5 survive, x1e6 "
+    "integer trunc-division.",
     tags=("dedup", "er", "window", "fixed-point"),
 )
 def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -71,9 +77,10 @@ def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id",
         "n_chars",
+        F.expr("n_chars div 16").alias("blk"),
         F.array_sort(F.array_distinct(tokens(F.col("text")))).alias("toks"),
     )
-    w = W.orderBy("n_chars", "doc_id")
+    w = W.partitionBy("blk").orderBy("n_chars", "doc_id")
     neigh = toks.select(
         "doc_id",
         "n_chars",

@@ -138,7 +138,10 @@ FROM d
     "at every distinct value WITHOUT floats: cross-multiplied ECDF "
     "counts (|cumA*nB - cumB*nA|, integers) with the division deferred "
     "to the final x1e6 rendering. Per-value pre-aggregation bounds the "
-    "window input; one sort-shuffle total.",
+    "input, and the ECDF cumsum is a TWO-PHASE distributed prefix sum "
+    "(bucket totals -> bucket-prefix window over the tiny bucket table "
+    "-> parallel within-bucket windows) — no global single-partition "
+    "Window at any scale.",
     tags=("stats", "drift", "window", "fixed-point"),
 )
 def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -156,13 +159,30 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     merged = counts.groupBy("v").agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
-    wc = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    # Two-phase distributed prefix sum (see q_mannwhitney_u): coarse
+    # buckets keep the ECDF cumsum parallel instead of a global
+    # single-partition ORDER BY v window. Results are bit-identical.
+    merged = merged.withColumn("bkt", F.expr("v div 16777216"))
+    per_bucket = merged.groupBy("bkt").agg(
+        F.sum("ca").alias("bca"), F.sum("cb").alias("bcb")
+    )
+    wb = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
     wt = W.partitionBy()
-    cum = merged.select(
-        F.sum("ca").over(wc).alias("cuma"),
-        F.sum("cb").over(wc).alias("cumb"),
-        F.sum("ca").over(wt).alias("na"),
-        F.sum("cb").over(wt).alias("nb"),
+    prefixes = per_bucket.select(
+        "bkt",
+        F.coalesce(F.sum("bca").over(wb), F.lit(0)).alias("pca"),
+        F.coalesce(F.sum("bcb").over(wb), F.lit(0)).alias("pcb"),
+        F.sum("bca").over(wt).alias("na"),
+        F.sum("bcb").over(wt).alias("nb"),
+    )
+    wv = W.partitionBy("bkt").orderBy("v").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = merged.join(F.broadcast(prefixes), "bkt").select(
+        (F.sum("ca").over(wv) + F.col("pca")).alias("cuma"),
+        (F.sum("cb").over(wv) + F.col("pcb")).alias("cumb"),
+        "na",
+        "nb",
     )
     d = cum.select(
         F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na")).alias("d_num"),

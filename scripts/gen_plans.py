@@ -110,6 +110,42 @@ PICKS = {
         "associative (hash-exact under any partitioning); the 10x64 mean "
         "table broadcasts back and the embedding table never shuffles."
     ),
+    "dd_bloom_probe": (
+        "Bloom-filter probe: the <=4096-row set-bit table broadcasts; "
+        "the probe stream explodes its 3 hash positions map-side and "
+        "joins without ever shuffling the probe table."
+    ),
+    "q_hll_registers": (
+        "Certified HyperLogLog: md5 bucket/suffix split map-side, one "
+        "256-group max() aggregate IS the mergeable register state; the "
+        "estimator is integer arithmetic over 256 rows."
+    ),
+    "ml_decision_stump": (
+        "Decision-stump training: per-quantity class counts (one fact "
+        "aggregate), then cumulative windows turn every prefix into a "
+        "left/right contingency table — all thresholds from one scan; "
+        "top-5 via TakeOrderedAndProject."
+    ),
+    "ml_knn_label": (
+        "kNN scoring: the probe batch broadcasts (nested-loop), the "
+        "corpus streams once; per-query top-k and majority vote reuse "
+        "the query_id partitioning."
+    ),
+    "q_sliding_distinct_users": (
+        "Sliding distinct: dedup (user,day) first, fan each activity to "
+        "its <=7 windows map-side, dedup again — shuffle bounded by 7x "
+        "deduped activity, no self-join, no per-window rescan."
+    ),
+    "q_market_basket": (
+        "Market basket: the distinct (order,item) table self-joins on "
+        "the order key — pair blowup bounded by basket size; marginals "
+        "join back and the 1-row order count rides a broadcast."
+    ),
+    "er_sorted_neighborhood": (
+        "Sorted-neighborhood ER: one range sort by the blocking key, "
+        "then lead() windows produce all w-neighbor candidate pairs "
+        "without any join."
+    ),
 }
 
 

@@ -22,6 +22,15 @@ INVARIANT_QUERIES = [
     "sim_gram_matrix",          # integer outer products
     "q_kmv_distinct",           # portable-hash sketch
     "dd_cc_clusters",           # min-label propagation
+    # round-3 continuation fixed-point family
+    "ml_linreg",                # decimal(38,0) Gramian combination
+    "q_gini_concentration",     # HUGEINT rank formula
+    "q_hhi_concentration",      # cross-multiplied squares
+    "q_mannwhitney_u",          # doubled tie-averaged ranks
+    "q_chisq_independence",     # cross-multiplied expectations
+    "q_hll_registers",          # md5 registers + integer estimator
+    "q_cusum_drift",            # scaled running deviation sums
+    "ml_lift_deciles",          # ntile over a total order
 ]
 
 
