@@ -31,6 +31,10 @@ INVARIANT_QUERIES = [
     "q_hll_registers",          # md5 registers + integer estimator
     "q_cusum_drift",            # scaled running deviation sums
     "ml_lift_deciles",          # ntile over a total order
+    "q_ks_two_sample",          # two-phase distributed prefix sum
+    "q_skyline_2d",             # window-maxima dominance
+    "q_market_basket",          # cross-multiplied lift + total-order top-k
+    "txt_vocab_coverage",       # rank/cumsum over the vocab table
 ]
 
 
