@@ -348,3 +348,227 @@ def dd_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("est_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap-fill with linear interpolation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_gapfill_linear",
+    oracle="""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket,
+         cast(sum(cast(round(value * 100, 0) AS bigint)) AS bigint) AS v_x100
+  FROM events WHERE user_id < 10 GROUP BY 1, 2
+),
+bounds AS (
+  SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM hourly GROUP BY 1
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds
+),
+joined AS (
+  SELECT g.user_id, g.bucket,
+         cast(epoch(g.bucket) // 3600 AS bigint) AS idx,
+         h.v_x100
+  FROM grid g LEFT JOIN hourly h USING (user_id, bucket)
+),
+bracketed AS (
+  SELECT user_id, bucket, idx, v_x100,
+         last_value(v_x100 IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN v_x100 IS NOT NULL THEN idx END IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pidx,
+         first_value(v_x100 IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY idx
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN v_x100 IS NOT NULL THEN idx END IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY idx
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nidx
+  FROM joined
+),
+interp AS (
+  SELECT user_id,
+         CASE WHEN v_x100 IS NULL THEN 1 ELSE 0 END AS is_gap,
+         CASE WHEN v_x100 IS NOT NULL THEN v_x100
+              ELSE pv + ((nv - pv) * (idx - pidx)) // (nidx - pidx)
+         END AS v_filled_x100
+  FROM bracketed
+)
+SELECT user_id,
+       count(*) AS n_buckets,
+       cast(sum(is_gap) AS bigint) AS n_gaps,
+       cast(sum(v_filled_x100) AS bigint) AS interp_sum_x100
+FROM interp GROUP BY user_id ORDER BY user_id
+""",
+    doc="Gap-fill with LINEAR interpolation (TimescaleDB interpolate()): "
+    "same per-user hourly grid as q_gapfill_locf, but each missing "
+    "bucket takes prev + (next-prev)*(t-t0) div (t1-t0) — exact integer "
+    "interpolation on cent-scaled values with epoch-hour indices. The "
+    "prev/next brackets come from last_value/first_value IGNORE NULLS "
+    "windows sharing the user_id partitioning; interior gaps always "
+    "have both brackets because the grid spans each user's own "
+    "[min, max] observation.",
+    tags=("window", "timeseries", "gapfill", "fixed-point"),
+)
+def q_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.filter(F.col("user_id") < 10)
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("v_x100"))
+    )
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket"),
+    )
+    joined = grid.join(hourly, ["user_id", "bucket"], "left").select(
+        "user_id",
+        "bucket",
+        F.expr("unix_timestamp(bucket) div 3600").alias("idx"),
+        "v_x100",
+    )
+    wp = (
+        W.partitionBy("user_id")
+        .orderBy("idx")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wn = (
+        W.partitionBy("user_id")
+        .orderBy("idx")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_idx = F.when(F.col("v_x100").isNotNull(), F.col("idx"))
+    bracketed = joined.select(
+        "user_id",
+        "v_x100",
+        "idx",
+        F.last("v_x100", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_idx, ignorenulls=True).over(wp).alias("pidx"),
+        F.first("v_x100", ignorenulls=True).over(wn).alias("nv"),
+        F.first(obs_idx, ignorenulls=True).over(wn).alias("nidx"),
+    )
+    interp = bracketed.select(
+        "user_id",
+        F.when(F.col("v_x100").isNull(), 1).otherwise(0).alias("is_gap"),
+        F.when(F.col("v_x100").isNotNull(), F.col("v_x100"))
+        .otherwise(
+            F.expr("pv + ((nv - pv) * (idx - pidx)) div (nidx - pidx)")
+        )
+        .alias("v_filled_x100"),
+    )
+    return (
+        interp.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("is_gap").alias("n_gaps"),
+            F.sum("v_filled_x100").alias("interp_sum_x100"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index (PSI) drift
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dd_psi_drift",
+    oracle="""
+WITH halves AS (
+  SELECT cast(round(value * 1000000, 0) AS bigint) AS v,
+         CASE WHEN ts < timestamp '2024-01-15 00:00:00' THEN 0 ELSE 1 END AS half
+  FROM events
+),
+binned AS (
+  SELECT half, least(greatest(v * 10 // 100000001, 0), 9) AS bin FROM halves
+),
+cells AS (
+  SELECT bin,
+         sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) + 1 AS ca,
+         sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) + 1 AS cb
+  FROM binned GROUP BY bin
+),
+shares AS (
+  SELECT bin, ca, cb,
+         (ca * 1000000) // (sum(ca) OVER ()) AS pa_x1e6,
+         (cb * 1000000) // (sum(cb) OVER ()) AS pb_x1e6
+  FROM cells
+),
+terms AS (
+  SELECT bin, cast(pa_x1e6 AS bigint) AS pa_x1e6, cast(pb_x1e6 AS bigint) AS pb_x1e6,
+         cast((pa_x1e6 - pb_x1e6)
+              * cast(round((ln(pa_x1e6) - ln(pb_x1e6)) * 1000, 0) AS bigint) AS bigint)
+           AS term_x1e9
+  FROM shares
+)
+SELECT bin, pa_x1e6, pb_x1e6, term_x1e9,
+       cast(sum(term_x1e9) OVER () AS bigint) AS psi_x1e9
+FROM terms
+ORDER BY bin
+""",
+    doc="Population Stability Index between the first and second half of "
+    "the event stream — THE score-drift metric in ML ops (PSI > 0.2 = "
+    "retrain). Values binned on a fixed equal-width grid (deterministic "
+    "edges, add-1 smoothing so no bin is empty); shares are x1e6 trunc "
+    "ratios and the ln ratio is snapped to x1e3 integers (the "
+    "txt_lm_score convention), so every term — and the total — is exact "
+    "integer arithmetic both engines replay. One scan, one 10-bin "
+    "aggregate, windows over the bin table.",
+    tags=("drift", "ml", "quality", "fixed-point"),
+)
+def dd_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    halves = ev.select(
+        F.round(F.col("value") * 1000000, 0).cast("long").alias("v"),
+        F.when(
+            F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"), 0
+        )
+        .otherwise(1)
+        .alias("half"),
+    )
+    binned = halves.select(
+        "half",
+        F.least(
+            F.greatest(F.expr("v * 10 div 100000001"), F.lit(0)), F.lit(9)
+        ).alias("bin"),
+    )
+    cells = binned.groupBy("bin").agg(
+        (F.sum(F.when(F.col("half") == 0, 1).otherwise(0)) + 1).alias("ca"),
+        (F.sum(F.when(F.col("half") == 1, 1).otherwise(0)) + 1).alias("cb"),
+    )
+    wt = W.partitionBy()
+    shares = cells.select(
+        "bin",
+        F.expr("(ca * 1000000) div (sum(ca) over ())").alias("pa_x1e6"),
+        F.expr("(cb * 1000000) div (sum(cb) over ())").alias("pb_x1e6"),
+    )
+    terms = shares.select(
+        "bin",
+        "pa_x1e6",
+        "pb_x1e6",
+        (
+            (F.col("pa_x1e6") - F.col("pb_x1e6"))
+            * F.round(
+                (F.log("pa_x1e6") - F.log("pb_x1e6")) * 1000, 0
+            ).cast("long")
+        ).alias("term_x1e9"),
+    )
+    return terms.select(
+        "bin",
+        "pa_x1e6",
+        "pb_x1e6",
+        "term_x1e9",
+        F.sum("term_x1e9").over(wt).alias("psi_x1e9"),
+    ).orderBy("bin")
