@@ -151,3 +151,56 @@ def pagerank_fixed(
             .localCheckpoint()
         )
     return ranks
+
+
+def bfs_hops(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    seed_mod: int = 10,
+    max_hops: int = 4,
+) -> DataFrame:
+    """Bounded multi-source BFS: (node, hop) with hop = shortest hop
+    distance (<= max_hops) from the seed set {node : node % seed_mod == 0};
+    hop is NULL for nodes no seed reaches within the bound.
+
+    Same distributed shape as connected_components: min-distance label
+    propagation, one shuffle per round on the node id, localCheckpoint
+    lineage truncation. Each round extends the certified frontier by one
+    hop, so max_hops rounds yield exact distances up to max_hops —
+    bounding the rounds is what makes BFS a fixed-cost operator on a
+    100 TB graph (unbounded diameters belong to connected_components'
+    fixpoint loop, not here). Seeds come from a deterministic id
+    predicate so reruns and the DuckDB recursive-CTE twin agree exactly.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # sym holds both directions, so its `u` column covers every node
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    dist = nodes.withColumn(
+        "hop",
+        F.when(F.col("node") % seed_mod == 0, F.lit(0)).otherwise(
+            F.lit(None).cast("int")
+        ),
+    ).localCheckpoint()
+    for _ in range(max_hops):
+        nbr = (
+            sym.join(
+                dist.select(F.col("node").alias("v"), F.col("hop").alias("hv")), "v"
+            )
+            .filter(F.col("hv").isNotNull())
+            .groupBy("u")
+            .agg((F.min("hv") + 1).cast("int").alias("cand"))
+        )
+        dist = (
+            dist.join(nbr, dist.node == nbr.u, "left")
+            # least() skips NULLs, so an unreached node adopts cand and a
+            # reached node keeps the smaller of (hop, cand)
+            .select("node", F.least(F.col("hop"), F.col("cand")).alias("hop"))
+            .localCheckpoint()
+        )
+    return dist

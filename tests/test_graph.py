@@ -97,3 +97,56 @@ def test_pagerank_fixed_properties(spark, sf_dir):
     assert all(v == floor for v in customers.values())
     assert all(v > floor for v in suppliers.values())
     assert sum(r1.values()) <= 1_000_000_000
+
+
+def _bfs_oracle(edges, seeds, max_hops):
+    from collections import deque
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in seeds if s in adj}
+    dq = deque(dist)
+    while dq:
+        u = dq.popleft()
+        if dist[u] >= max_hops:
+            continue
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    return dist
+
+
+def test_bfs_hops_chain(spark):
+    from p6_spark.operators.graph import bfs_hops
+
+    # seeds (mod 10): 0 and 20. chain 0-1-2-3-4-5-6, pair (20,21), island (30? no)
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (20, 21), (33, 34)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["node"]: r["hop"] for r in bfs_hops(df, seed_mod=10, max_hops=4).collect()
+    }
+    # 30 is a seed-free island: both nodes unreached (NULL hop)
+    assert got[0] == 0 and got[1] == 1 and got[4] == 4
+    assert got[5] is None and got[6] is None  # beyond the 4-hop bound
+    assert got[20] == 0 and got[21] == 1
+    assert got[33] is None and got[34] is None
+
+
+def test_bfs_hops_matches_driver_bfs_on_lsh_pairs(spark, sf_dir):
+    from p6_spark.operators.graph import bfs_hops
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.lsh_candidate_pairs(dd.minhash_signatures(docs))
+    edge_list = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    nodes = {x for e in edge_list for x in e}
+    want = _bfs_oracle(edge_list, {n for n in nodes if n % 10 == 0}, 4)
+    got = {
+        r["node"]: r["hop"]
+        for r in bfs_hops(pairs, seed_mod=10, max_hops=4).collect()
+    }
+    assert set(got) == nodes
+    for n in nodes:
+        assert got[n] == want.get(n), n
