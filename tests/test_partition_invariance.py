@@ -35,6 +35,11 @@ INVARIANT_QUERIES = [
     "q_skyline_2d",             # window-maxima dominance
     "q_market_basket",          # cross-multiplied lift + total-order top-k
     "txt_vocab_coverage",       # rank/cumsum over the vocab table
+    # er/graph/timeseries additions
+    "q_graph_bfs",              # frontier BFS hop histogram
+    "q_twap",                   # integer duration-weighted means
+    "q_ewma16",                 # 16-tap integer FIR over per-user windows
+    "dd_survivorship",          # window + rollup on the 16-byte fingerprint
 ]
 
 
