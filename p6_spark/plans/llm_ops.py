@@ -493,16 +493,7 @@ def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.blocked_neardup_pairs(emb)
 
 
-@register(
-    "sim_ivf_ann",
-    # Fully oracle-checked since round 3: the Lloyd iterations run in
-    # fixed-point integer space (quantize x1e4 to bigint BEFORE any mean;
-    # trunc-div centroid updates — the sim_centroid_stats trick), so every
-    # k-means step is associative integer arithmetic and DuckDB replays the
-    # whole build+search below: same seeds (md5 ordering), two unrolled
-    # Lloyd rounds, same probe selection, same integer-L2 re-rank.
-    oracle="""
-WITH e AS (
+_SQL_IVF_MODEL = """e AS (
   SELECT vec_id,
          list_transform(embedding::double[],
                         x -> cast(round(x * 10000, 0) AS bigint)) AS qv
@@ -575,7 +566,19 @@ af AS (
     SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
     FROM df
   ) WHERE rn = 1
-),
+)"""
+
+
+@register(
+    "sim_ivf_ann",
+    # Fully oracle-checked since round 3: the Lloyd iterations run in
+    # fixed-point integer space (quantize x1e4 to bigint BEFORE any mean;
+    # trunc-div centroid updates — the sim_centroid_stats trick), so every
+    # k-means step is associative integer arithmetic and DuckDB replays the
+    # whole build+search below: same seeds (md5 ordering), two unrolled
+    # Lloyd rounds, same probe selection, same integer-L2 re-rank.
+    oracle=f"""
+WITH {_SQL_IVF_MODEL},
 probes AS (
   SELECT query_id, cid FROM (
     SELECT vec_id AS query_id, cid,

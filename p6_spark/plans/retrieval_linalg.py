@@ -375,3 +375,180 @@ def ml_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF n_probe recall/cost sweep
+# ---------------------------------------------------------------------------
+
+
+def _ivf_sweep_oracle() -> str:
+    from p6_spark.plans.llm_ops import _SQL_IVF_MODEL
+
+    return f"""
+WITH {_SQL_IVF_MODEL},
+bf AS (
+  SELECT eq.vec_id AS query_id, em.vec_id AS match_id,
+         sum((eq.v - em.v) * (eq.v - em.v)) AS dist2
+  FROM el eq JOIN el em ON em.pos = eq.pos AND em.vec_id <> eq.vec_id
+  WHERE eq.vec_id % 100 = 0
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT query_id, match_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist2, match_id) AS rn
+    FROM bf
+  ) WHERE rn = 1
+),
+truth_cid AS (
+  SELECT t.query_id, af.cid AS tcid FROM truth t JOIN af ON af.vec_id = t.match_id
+),
+qprobe AS (
+  SELECT vec_id AS query_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+  FROM df WHERE vec_id % 100 = 0
+),
+list_sizes AS (SELECT cid, cast(count(*) AS bigint) AS sz FROM af GROUP BY cid),
+hitrank AS (
+  SELECT t.query_id, min(p.rn) AS hit_rn
+  FROM truth_cid t JOIN qprobe p ON p.query_id = t.query_id AND p.cid = t.tcid
+  GROUP BY t.query_id
+),
+rankcost AS (
+  SELECT p.rn, cast(sum(s.sz) AS bigint) AS sz_at_rank
+  FROM qprobe p JOIN list_sizes s ON s.cid = p.cid
+  GROUP BY p.rn
+),
+nps AS (SELECT unnest([1, 2, 4]) AS n_probe)
+SELECT n.n_probe,
+       (SELECT cast(count(*) AS bigint) FROM hitrank) AS n_queries,
+       (SELECT cast(count(*) AS bigint) FROM hitrank WHERE hit_rn <= n.n_probe)
+         AS n_hits,
+       cast((SELECT count(*) FROM hitrank WHERE hit_rn <= n.n_probe) * 1000000
+            // (SELECT count(*) FROM hitrank) AS bigint) AS recall1_x1e6,
+       (SELECT cast(sum(sz_at_rank) AS bigint) FROM rankcost WHERE rn <= n.n_probe)
+         AS candidate_rows
+FROM nps n
+ORDER BY n.n_probe
+"""
+
+
+@register(
+    "sim_ivf_probe_sweep",
+    oracle=_ivf_sweep_oracle(),
+    doc="IVF n_probe tuning sweep — the recall/cost curve that picks the "
+    "probe count from measurement (the IVF counterpart of dd_lsh_tuning "
+    "and dd_lsh_recall): for a deterministic query sample, exact-NN "
+    "ground truth (bounded brute force: |queries| x corpus, never "
+    "all-pairs), then recall@1 and probed-candidate volume at n_probe "
+    "in {1,2,4} against the SAME fixed-point IVF model sim_ivf_ann "
+    "serves. The model build is shared integer k-means (one corpus "
+    "scan); the sweep itself touches only centroid-ranked metadata "
+    "and the k-row list-size table.",
+    tags=("similarity", "ivf", "tuning", "fixed-point"),
+)
+def sim_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from p6_spark.operators.ivf import (
+        _assign_fixed,
+        _centroid_array_long,
+        _sq_dist_long,
+        quantize,
+        train_centroids_fixed,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    model = train_centroids_fixed(emb, k=8, iters=2)
+    indexed = _assign_fixed(
+        emb.select(F.col("vec_id").alias("match_id"), quantize(F.col("embedding")).alias("mqv")),
+        "mqv",
+        model,
+    )
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), quantize(F.col("embedding")).alias("qqv")
+    )
+    # exact ground truth: |queries| x corpus, queries broadcast
+    bf = (
+        indexed.crossJoin(F.broadcast(q))
+        .filter(F.col("match_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "match_id",
+            _sq_dist_long(F.col("qqv"), F.col("mqv")).alias("dist2"),
+        )
+    )
+    truth = (
+        bf.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy("dist2", "match_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("query_id", "match_id")
+    )
+    truth_cid = truth.join(
+        indexed.select("match_id", F.col("cid").alias("tcid")), "match_id"
+    ).select("query_id", "tcid")
+    # centroid ranking per query (rank = probe order)
+    carr = _centroid_array_long(model)
+    dists = F.transform(
+        carr,
+        lambda c: F.struct(
+            _sq_dist_long(F.col("qqv"), c["cvec"]).alias("d"), c["cid"].alias("cid")
+        ),
+    )
+    qprobe = q.select(
+        "query_id", F.posexplode(F.array_sort(dists)).alias("rn0", "s")
+    ).select(
+        "query_id", (F.col("rn0") + 1).alias("rn"), F.col("s.cid").alias("cid")
+    )
+    list_sizes = indexed.groupBy("cid").agg(F.count(F.lit(1)).alias("sz"))
+    hitrank = (
+        truth_cid.join(
+            qprobe, (qprobe.query_id == truth_cid.query_id) & (qprobe.cid == F.col("tcid"))
+        )
+        .groupBy(truth_cid.query_id)
+        .agg(F.min("rn").alias("hit_rn"))
+    )
+    rankcost = (
+        qprobe.join(F.broadcast(list_sizes), "cid")
+        .groupBy("rn")
+        .agg(F.sum("sz").alias("sz_at_rank"))
+    )
+    nps = spark.createDataFrame([(1,), (2,), (4,)], "n_probe int")
+    hit_agg = (
+        nps.crossJoin(F.broadcast(hitrank))
+        .groupBy("n_probe")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum(
+                F.when(F.col("hit_rn") <= F.col("n_probe"), 1).otherwise(0)
+            ).alias("n_hits"),
+        )
+    )
+    cost_agg = (
+        nps.crossJoin(F.broadcast(rankcost))
+        .groupBy("n_probe")
+        .agg(
+            F.sum(
+                F.when(F.col("rn") <= F.col("n_probe"), F.col("sz_at_rank")).otherwise(
+                    0
+                )
+            ).alias("candidate_rows")
+        )
+    )
+    return (
+        hit_agg.join(cost_agg, "n_probe")
+        .select(
+            "n_probe",
+            "n_queries",
+            "n_hits",
+            F.expr("cast(n_hits * 1000000 div n_queries as bigint)").alias(
+                "recall1_x1e6"
+            ),
+            "candidate_rows",
+        )
+        .orderBy("n_probe")
+    )
