@@ -1,0 +1,262 @@
+"""Density clustering, optimizer statistics, and index-shaped search:
+DBSCAN core/border/noise labeling inside blocked neighborhoods, the
+equi-depth histogram (the optimizer's selectivity table), and
+trigram-postings LIKE acceleration — the pg_trgm pattern — each with an
+exact DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from p6_spark.plans.registry import register
+from p6_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN core/border/noise inside label blocks
+# ---------------------------------------------------------------------------
+
+_DB_EPS2 = 30_000_000  # eps^2 in x1e3-quantized integer units
+_DB_MINPTS = 4
+
+
+@register(
+    "ml_dbscan_core",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding::double[],
+                        x -> cast(round(x * 1000, 0) AS bigint)) AS qv
+  FROM embeddings
+),
+nbr AS (
+  SELECT a.vec_id, a.label, count(*) AS n_nbrs
+  FROM e a JOIN e b
+    ON a.label = b.label AND a.vec_id <> b.vec_id
+   AND list_sum(list_transform(a.qv, (x, i) -> (x - b.qv[i]) * (x - b.qv[i])))
+         <= {_DB_EPS2}
+  GROUP BY a.vec_id, a.label
+),
+cls AS (
+  SELECT e.vec_id, e.label,
+         CASE WHEN coalesce(n.n_nbrs, 0) >= {_DB_MINPTS} THEN 'core'
+              WHEN coalesce(n.n_nbrs, 0) >= 1 THEN 'border'
+              ELSE 'noise' END AS role
+  FROM e LEFT JOIN nbr n ON n.vec_id = e.vec_id
+)
+SELECT label, role, cast(count(*) AS bigint) AS n_points
+FROM cls GROUP BY label, role
+ORDER BY label, role
+""",
+    doc="DBSCAN density roles per label block: core (>= minPts "
+    "eps-neighbors), border (some), noise (none) — the density audit "
+    "that finds outlier embeddings a centroid-based view (ml_silhouette) "
+    "calls fine. eps^2 is an integer threshold over x1e3-quantized "
+    "squared L2, so membership is exact. The quadratic neighbor count "
+    "runs ONLY inside label blocks (the dd_embedding_neardup blocking "
+    "contract — LSH buckets when no natural key exists); nothing "
+    "crosses blocks.",
+    tags=("ml", "clustering", "density", "fixed-point"),
+)
+def ml_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 1000, 0).cast("long")
+    )
+    e = emb.select("vec_id", "label", qv.alias("qv"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("a.qv"), F.col("b.qv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    nbr = (
+        e.alias("a")
+        .join(
+            e.alias("b"),
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .filter(d2 <= _DB_EPS2)
+        .groupBy(F.col("a.vec_id").alias("vec_id"))
+        .agg(F.count(F.lit(1)).alias("n_nbrs"))
+    )
+    cls = e.join(nbr, "vec_id", "left").select(
+        "label",
+        F.when(F.coalesce(F.col("n_nbrs"), F.lit(0)) >= _DB_MINPTS, "core")
+        .when(F.coalesce(F.col("n_nbrs"), F.lit(0)) >= 1, "border")
+        .otherwise("noise")
+        .alias("role"),
+    )
+    return (
+        cls.groupBy("label", "role")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .orderBy("label", "role")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram (optimizer selectivity stats)
+# ---------------------------------------------------------------------------
+
+_ED_BUCKETS = 10
+
+
+@register(
+    "q_equidepth_hist",
+    oracle=f"""
+WITH v AS (
+  SELECT cast(round(o_totalprice * 100, 0) AS bigint) AS cents FROM orders
+),
+per AS (SELECT cents, cast(count(*) AS bigint) AS c FROM v GROUP BY cents),
+cum AS (
+  SELECT cents, c,
+         sum(c) OVER (ORDER BY cents) AS cum_n,
+         sum(c) OVER () AS n_tot
+  FROM per
+),
+b AS (
+  SELECT ((cum_n - 1) * {_ED_BUCKETS}) // n_tot AS bucket, cents, c
+  FROM cum
+)
+SELECT cast(bucket AS bigint) AS bucket,
+       cast(min(cents) AS bigint) AS lo_cents,
+       cast(max(cents) AS bigint) AS hi_cents,
+       cast(sum(c) AS bigint) AS n_rows,
+       cast(count(*) AS bigint) AS n_distinct
+FROM b GROUP BY bucket ORDER BY bucket
+""",
+    doc="Equi-depth histogram of order value (10 buckets, ~equal row "
+    "mass): bucket of a value = floor((cum_rank-1)*B / N) over the "
+    "collapsed per-value table — the selectivity statistic every "
+    "optimizer keeps (equi-WIDTH q_histogram answers 'what does the "
+    "distribution look like'; equi-DEPTH answers 'how many rows does "
+    "BETWEEN a AND b touch' with bounded error). The cumulative window "
+    "runs over distinct values, not rows, and bucket bounds + "
+    "distinct-counts per bucket come out of the same pass.",
+    tags=("stats", "optimizer", "window", "fixed-point"),
+)
+def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    per = (
+        orders.select(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents")
+        )
+        .groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wc = W.orderBy("cents").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = per.select(
+        "cents",
+        "c",
+        F.sum("c").over(wc).alias("cum_n"),
+        F.sum("c").over(W.partitionBy()).alias("n_tot"),
+    )
+    b = cum.select(
+        F.expr(f"((cum_n - 1) * {_ED_BUCKETS}) div n_tot").alias("bucket"),
+        "cents",
+        "c",
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+            F.sum("c").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trigram-postings LIKE acceleration (the pg_trgm pattern)
+# ---------------------------------------------------------------------------
+
+_TRGM_NEEDLE = "green"
+
+
+def _trgms(s: str) -> list[str]:
+    return sorted({s[i : i + 3] for i in range(len(s) - 2)})
+
+
+@register(
+    "q_trigram_search",
+    oracle=f"""
+WITH names AS (SELECT p_partkey, p_name FROM part),
+post AS (
+  SELECT p_partkey,
+         unnest(list_distinct(
+           list_transform(generate_series(1, length(p_name) - 2),
+                          i -> substr(p_name, i, 3)))) AS trgm
+  FROM names
+),
+cand AS (
+  SELECT p_partkey FROM post
+  WHERE trgm IN {tuple(_trgms(_TRGM_NEEDLE))!r}
+  GROUP BY p_partkey
+  HAVING count(DISTINCT trgm) = {len(_trgms(_TRGM_NEEDLE))}
+),
+verified AS (
+  SELECT c.p_partkey FROM cand c JOIN names n ON n.p_partkey = c.p_partkey
+  WHERE n.p_name LIKE '%{_TRGM_NEEDLE}%'
+)
+SELECT (SELECT cast(count(*) AS bigint) FROM names) AS n_rows,
+       (SELECT cast(count(*) AS bigint) FROM cand) AS n_candidates,
+       (SELECT cast(count(*) AS bigint) FROM verified) AS n_matches,
+       (SELECT cast(count(*) AS bigint) FROM names
+        WHERE p_name LIKE '%{_TRGM_NEEDLE}%') AS n_direct_scan
+""",
+    doc="Trigram-postings acceleration of LIKE '%green%' over part "
+    "names — the pg_trgm / search-index pattern: candidates must "
+    "contain EVERY trigram of the needle (posting-list intersection "
+    "via one grouped count), then only candidates are verified with "
+    "the real substring test; n_matches == n_direct_scan proves zero "
+    "false negatives in-query. At 100 TB the postings table is the "
+    "materialized index and the full-scan column is the cost being "
+    "avoided — candidates are needle-selectivity-sized, not "
+    "corpus-sized.",
+    tags=("index", "text", "search"),
+)
+def q_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    names = part.select("p_partkey", "p_name")
+    needles = _trgms(_TRGM_NEEDLE)
+    post = names.select(
+        "p_partkey",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, length(p_name) - 2),"
+                    " i -> substring(p_name, i, 3))"
+                )
+            )
+        ).alias("trgm"),
+    )
+    cand = (
+        post.filter(F.col("trgm").isin(needles))
+        .groupBy("p_partkey")
+        .agg(F.countDistinct("trgm").alias("nt"))
+        .filter(F.col("nt") == len(needles))
+        .select("p_partkey")
+    )
+    verified = cand.join(names, "p_partkey").filter(
+        F.col("p_name").contains(_TRGM_NEEDLE)
+    )
+    n_rows = names.agg(F.count(F.lit(1)).alias("n_rows"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_match = verified.agg(F.count(F.lit(1)).alias("n_matches"))
+    n_direct = names.filter(F.col("p_name").contains(_TRGM_NEEDLE)).agg(
+        F.count(F.lit(1)).alias("n_direct_scan")
+    )
+    return (
+        n_rows.crossJoin(F.broadcast(n_cand))  # 1-row scalar attaches
+        .crossJoin(F.broadcast(n_match))
+        .crossJoin(F.broadcast(n_direct))
+    )
