@@ -1,0 +1,236 @@
+"""Physical-layout advice and CRM segmentation: column encoding
+statistics (RLE/dict advisor), RFM customer quintile segments, and
+order-key sequence-gap forensics — certified in the registry's exact
+style.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from p6_spark.plans.registry import register
+from p6_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Column-encoding advisor (RLE / dictionary statistics)
+# ---------------------------------------------------------------------------
+
+_ENC_COLS = [
+    ("l_returnflag", "l_returnflag"),
+    ("l_linestatus", "l_linestatus"),
+    ("l_shipdate", "strftime(l_shipdate, '%Y-%m-%d')"),
+]
+
+
+def _enc_sql_one(name: str, expr: str) -> str:
+    return f"""
+SELECT '{name}' AS col,
+       cast(count(*) AS bigint) AS n_rows,
+       cast(count(DISTINCT v) AS bigint) AS n_distinct,
+       cast(1 + sum(CASE WHEN v <> pv THEN 1 ELSE 0 END) AS bigint) AS n_runs,
+       cast(count(*) * 1000 // (1 + sum(CASE WHEN v <> pv THEN 1 ELSE 0 END))
+            AS bigint) AS avg_run_len_x1e3
+FROM (
+  SELECT v, lag(v) OVER (ORDER BY l_orderkey, l_linenumber) AS pv
+  FROM (SELECT l_orderkey, l_linenumber, {expr} AS v FROM lineitem)
+)"""
+
+
+@register(
+    "q_encoding_advisor",
+    oracle="\nUNION ALL\n".join(_enc_sql_one(n, e) for n, e in _ENC_COLS)
+    + "\nORDER BY col",
+    doc="Column-encoding advisor: per column, cardinality (dictionary "
+    "viability) and run statistics in the table's write order "
+    "(orderkey, linenumber) — avg run length is what decides RLE vs "
+    "dict vs plain, and whether a sort-before-write (q_zorder_layout's "
+    "cousin) would pay for itself. One lag window per column over an "
+    "explicit total order; at 100 TB this runs per file/partition and "
+    "the advisor rows are the only thing that moves.",
+    tags=("layout", "stats", "window"),
+)
+def q_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    out = None
+    specs = [
+        ("l_returnflag", F.col("l_returnflag")),
+        ("l_linestatus", F.col("l_linestatus")),
+        ("l_shipdate", F.date_format("l_shipdate", "yyyy-MM-dd")),
+    ]
+    w = W.orderBy("l_orderkey", "l_linenumber")
+    for name, col in specs:
+        v = li.select("l_orderkey", "l_linenumber", col.alias("v"))
+        lagged = v.select("v", F.lag("v").over(w).alias("pv"))
+        row = lagged.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("v").alias("n_distinct"),
+            (
+                F.lit(1)
+                + F.sum(F.when(F.col("v") != F.col("pv"), 1).otherwise(0))
+            ).alias("n_runs"),
+        ).select(
+            F.lit(name).alias("col"),
+            "n_rows",
+            "n_distinct",
+            "n_runs",
+            F.expr("cast(n_rows * 1000 div n_runs as bigint)").alias(
+                "avg_run_len_x1e3"
+            ),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("col")
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_rfm_segments",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_order,
+         cast(count(*) AS bigint) AS freq,
+         cast(sum(cast(round(o_totalprice * 100, 0) AS bigint)) AS bigint) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT o_custkey,
+         ntile(5) OVER (ORDER BY last_order, o_custkey) AS r_score,
+         ntile(5) OVER (ORDER BY freq, o_custkey) AS f_score,
+         ntile(5) OVER (ORDER BY monetary, o_custkey) AS m_score,
+         monetary
+  FROM per_cust
+)
+SELECT cast(r_score * 100 + f_score * 10 + m_score AS bigint) AS segment,
+       cast(count(*) AS bigint) AS n_customers,
+       cast(sum(monetary) AS bigint) AS total_cents
+FROM scored
+GROUP BY 1
+ORDER BY n_customers DESC, segment
+LIMIT 25
+""",
+    doc="RFM segmentation: per customer, recency (last order date), "
+    "frequency, monetary total -> quintile scores via ntile(5) over "
+    "total orders (value, custkey) so every boundary is deterministic; "
+    "segment = 100r+10f+m, top-25 segments by population — the CRM "
+    "targeting table (555 = champions, 111 = lost). One customer "
+    "rollup, three ntiles sharing its output, a segment-space-bounded "
+    "final aggregate.",
+    tags=("bi", "crm", "window", "fixed-point"),
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "monetary"
+        ),
+    )
+    scored = per_cust.select(
+        "monetary",
+        F.ntile(5).over(W.orderBy("last_order", "o_custkey")).alias("r_score"),
+        F.ntile(5).over(W.orderBy("freq", "o_custkey")).alias("f_score"),
+        F.ntile(5).over(W.orderBy("monetary", "o_custkey")).alias("m_score"),
+    )
+    return (
+        scored.groupBy(
+            (
+                F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+            )
+            .cast("long")
+            .alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary").alias("total_cents"),
+        )
+        .orderBy(F.desc("n_customers"), "segment")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Key-sequence gap forensics
+# ---------------------------------------------------------------------------
+
+
+_GAP_SEQUENCES = [
+    ("orders.o_orderkey", "orders", "o_orderkey"),
+    ("part.p_partkey", "part", "p_partkey"),
+    ("events.event_id", "events", "event_id"),
+]
+
+
+def _gap_sql_one(name: str, tbl: str, key: str) -> str:
+    return f"""
+SELECT '{name}' AS seq,
+       cast(count(*) AS bigint) AS n_keys,
+       cast(min(k) AS bigint) AS k_min,
+       cast(max(k) AS bigint) AS k_max,
+       cast(max(k) - min(k) + 1 - count(*) AS bigint) AS n_missing,
+       cast(sum(CASE WHEN nk - k > 1 THEN 1 ELSE 0 END) AS bigint) AS n_gaps,
+       cast(coalesce(max(CASE WHEN nk - k > 1 THEN nk - k - 1 END), 0) AS bigint)
+         AS max_gap_len
+FROM (
+  SELECT k, lead(k) OVER (ORDER BY k) AS nk
+  FROM (SELECT DISTINCT {key} AS k FROM {tbl})
+)"""
+
+
+@register(
+    "q_key_gaps",
+    oracle="\nUNION ALL\n".join(_gap_sql_one(*s) for s in _GAP_SEQUENCES)
+    + "\nORDER BY seq",
+    doc="Key-sequence completeness audit over every sequential id in "
+    "the schema (orderkey, partkey, event_id): span vs count, number "
+    "of holes, and the largest hole, via one lead() window over each "
+    "distinct key table — missing-extract detection for pipelines fed "
+    "by sequential upstream ids (a large unexpected gap = a dropped "
+    "batch; the audit row says where to re-pull). On complete data "
+    "the audit proves completeness with zeros rather than silence — "
+    "the calendar counterpart is q_missing_days.",
+    tags=("forensics", "quality", "window"),
+)
+def q_key_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for name, tbl, key in _GAP_SEQUENCES:
+        k = _t(spark, sf_dir, tbl).select(F.col(key).alias("k")).distinct()
+        led = k.select("k", F.lead("k").over(W.orderBy("k")).alias("nk"))
+        row = led.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            (F.max("k") - F.min("k") + 1 - F.count(F.lit(1))).alias("n_missing"),
+            F.sum(
+                F.when(F.col("nk") - F.col("k") > 1, 1).otherwise(0)
+            ).alias("n_gaps"),
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("nk") - F.col("k") > 1, F.col("nk") - F.col("k") - 1
+                    )
+                ),
+                F.lit(0),
+            ).alias("max_gap_len"),
+        ).select(
+            F.lit(name).alias("seq"),
+            "n_keys",
+            "k_min",
+            "k_max",
+            "n_missing",
+            "n_gaps",
+            "max_gap_len",
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("seq")
