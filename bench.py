@@ -71,6 +71,13 @@ HEADLINE = [
     "dd_bloom_probe",
     "txt_inverted_index",
     "er_sorted_neighborhood",
+    # round-3 continuation: retrieval / timeseries / feature / serving
+    "txt_bm25",
+    "q_twap",
+    "q_ewma16",
+    "ml_feature_importance",
+    "q_continuous_agg",
+    "q_rfm_segments",
 ]
 
 
