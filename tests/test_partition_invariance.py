@@ -40,6 +40,15 @@ INVARIANT_QUERIES = [
     "q_twap",                   # integer duration-weighted means
     "q_ewma16",                 # 16-tap integer FIR over per-user windows
     "dd_survivorship",          # window + rollup on the 16-byte fingerprint
+    # later round-3 batches
+    "q_hll_merge",              # register-merge == direct proof
+    "ml_power_iteration",       # integer matvec rounds
+    "txt_bm25",                 # rational BM25 + integer-ln idf
+    "q_cuped_adjust",           # decimal Gramian + cross-multiplied means
+    "q_equidepth_hist",         # cum-rank bucket boundaries
+    "ml_mutual_info",           # integer-ln MI over the cell table
+    "q_pareto_cut",             # two-phase value-ordered cumsum
+    "q_graph_cheapest_path",    # bounded min-plus relax rounds
 ]
 
 
