@@ -146,6 +146,27 @@ PICKS = {
         "then lead() windows produce all w-neighbor candidate pairs "
         "without any join."
     ),
+    "txt_bm25": (
+        "BM25: postings restricted to the 3 query terms BEFORE any join "
+        "(qtf is query-sized); doc-length joins on the doc key, the "
+        "3-row idf and 1-row corpus stats broadcast; top-20 is "
+        "TakeOrderedAndProject."
+    ),
+    "q_twap": (
+        "TWAP: one Exchange on (event_type, day) feeds both the lead() "
+        "window and the rollup — parallelism scales with the calendar, "
+        "and the duration-weighted sums are map-side partials."
+    ),
+    "q_continuous_agg": (
+        "Continuous aggregate: the closed-history partial table and the "
+        "raw tail aggregate union BEFORE the final 5-group rollup — at "
+        "100 TB the history branch reads partials only, never facts."
+    ),
+    "ml_feature_importance": (
+        "Split-gain ranking: per feature one per-value aggregate + one "
+        "cumulative window over the collapsed value table; the fact "
+        "table is scanned once per feature, thresholds never rescan."
+    ),
 }
 
 
