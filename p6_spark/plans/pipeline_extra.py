@@ -250,3 +250,111 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-pipeline drop funnel (per-source stage attrition)
+# ---------------------------------------------------------------------------
+
+
+def _funnel_oracle() -> str:
+    from p6_spark.plans.llm_ops import _sql_minhash_sig_over
+
+    return f"""
+WITH gated AS (
+  SELECT * FROM documents
+  WHERE len({_SQL_TOKENS}) >= 5
+    AND round(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+              / greatest(length(text), 1), 6) <= 0.3
+    AND round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+              / greatest(length(text), 1), 6) <= 0.5
+),
+exact AS (
+  SELECT g.* FROM gated g
+  JOIN (SELECT text AS k_text, min(doc_id) AS keep_id FROM gated GROUP BY text) k
+    ON g.text = k.k_text AND g.doc_id = k.keep_id
+),
+{_sql_minhash_sig_over('exact').lstrip()},
+p_bands AS (
+  SELECT doc_id, 0 AS band_idx, cast(h0 AS varchar) || '_' || cast(h1 AS varchar) AS band_val FROM p_sig
+  UNION ALL
+  SELECT doc_id, 1, cast(h2 AS varchar) || '_' || cast(h3 AS varchar) FROM p_sig
+  UNION ALL
+  SELECT doc_id, 2, cast(h4 AS varchar) || '_' || cast(h5 AS varchar) FROM p_sig
+  UNION ALL
+  SELECT doc_id, 3, cast(h6 AS varchar) || '_' || cast(h7 AS varchar) FROM p_sig
+),
+losers AS (
+  SELECT DISTINCT b.doc_id
+  FROM p_bands a JOIN p_bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+),
+clean AS (SELECT e.* FROM exact e WHERE e.doc_id NOT IN (SELECT doc_id FROM losers))
+SELECT r.source,
+       r.n_raw,
+       coalesce(g.n, 0) AS n_pass_gate,
+       coalesce(e.n, 0) AS n_after_exact,
+       coalesce(c.n, 0) AS n_survivors,
+       r.n_raw - coalesce(g.n, 0) AS d_gate,
+       coalesce(g.n, 0) - coalesce(e.n, 0) AS d_exact,
+       coalesce(e.n, 0) - coalesce(c.n, 0) AS d_neardup
+FROM (SELECT source, cast(count(*) AS bigint) AS n_raw FROM documents GROUP BY source) r
+LEFT JOIN (SELECT source, cast(count(*) AS bigint) AS n FROM gated GROUP BY source) g USING (source)
+LEFT JOIN (SELECT source, cast(count(*) AS bigint) AS n FROM exact GROUP BY source) e USING (source)
+LEFT JOIN (SELECT source, cast(count(*) AS bigint) AS n FROM clean GROUP BY source) c USING (source)
+ORDER BY r.source
+"""
+
+
+@register(
+    "pipe_drop_funnel",
+    oracle=_funnel_oracle(),
+    doc="Corpus-pipeline drop funnel: per source, survivors at every "
+    "stage of pipe_llm_corpus's chain (raw -> quality gate -> exact "
+    "dedup -> near-dedup) plus the per-stage drop deltas — the "
+    "observability table a corpus team watches per ingest batch "
+    "(a source whose d_gate spikes changed upstream; d_neardup "
+    "spiking means a feed started mirroring another). Reuses the "
+    "pipeline's OWN stage functions, so the funnel can't drift from "
+    "the production path; stage counts are source-keyed rollups of "
+    "each stage's survivor set.",
+    tags=("pipeline", "observability", "dedup", "quality"),
+)
+def pipe_drop_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6_spark.operators import dedup as dd
+    from p6_spark.pipelines.llm_corpus import drop_near_duplicates, quality_gate
+
+    docs = _t(spark, sf_dir, "documents")
+    gated = quality_gate(docs)
+    exact = dd.dedup_exact(gated)
+    clean = drop_near_duplicates(exact)
+
+    def per_source(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy("source").agg(F.count(F.lit(1)).alias(name))
+
+    r = per_source(docs, "n_raw")
+    g = per_source(gated, "n_pass_gate")
+    e = per_source(exact, "n_after_exact")
+    c = per_source(clean, "n_survivors")
+    return (
+        r.join(g, "source", "left")
+        .join(e, "source", "left")
+        .join(c, "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            F.coalesce("n_pass_gate", F.lit(0)).alias("n_pass_gate"),
+            F.coalesce("n_after_exact", F.lit(0)).alias("n_after_exact"),
+            F.coalesce("n_survivors", F.lit(0)).alias("n_survivors"),
+            (F.col("n_raw") - F.coalesce("n_pass_gate", F.lit(0))).alias("d_gate"),
+            (
+                F.coalesce("n_pass_gate", F.lit(0))
+                - F.coalesce("n_after_exact", F.lit(0))
+            ).alias("d_exact"),
+            (
+                F.coalesce("n_after_exact", F.lit(0))
+                - F.coalesce("n_survivors", F.lit(0))
+            ).alias("d_neardup"),
+        )
+        .orderBy("source")
+    )
