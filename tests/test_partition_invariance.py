@@ -49,6 +49,9 @@ INVARIANT_QUERIES = [
     "ml_mutual_info",           # integer-ln MI over the cell table
     "q_pareto_cut",             # two-phase value-ordered cumsum
     "q_graph_cheapest_path",    # bounded min-plus relax rounds
+    "pipe_drop_funnel",         # per-source stage attrition counts
+    "txt_novelty_curve",        # min-per-shingle first-seen join
+    "q_growth_accounting",      # distinct (user,week) ledger
 ]
 
 
