@@ -219,3 +219,173 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+# ---------------------------------------------------------------------------
+# Attribution model comparison (first vs last touch)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_attribution_compare",
+    oracle="""
+WITH purchases AS (
+  SELECT user_id, ts AS p_ts, event_id AS p_id
+  FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT user_id, ts AS t_ts, event_id AS t_id, event_type AS channel
+  FROM events WHERE event_type IN ('view', 'click', 'signup')
+),
+joined AS (
+  SELECT p.p_id, t.channel,
+         row_number() OVER (PARTITION BY p.p_id
+                            ORDER BY t.t_ts DESC, t.t_id DESC) AS rnk_last,
+         row_number() OVER (PARTITION BY p.p_id
+                            ORDER BY t.t_ts ASC, t.t_id ASC) AS rnk_first
+  FROM purchases p JOIN touches t
+    ON p.user_id = t.user_id AND t.t_ts <= p.p_ts
+),
+lt AS (SELECT channel, cast(count(*) AS bigint) AS n_last FROM joined
+       WHERE rnk_last = 1 GROUP BY channel),
+ft AS (SELECT channel, cast(count(*) AS bigint) AS n_first FROM joined
+       WHERE rnk_first = 1 GROUP BY channel),
+tot AS (SELECT cast(count(DISTINCT p_id) AS bigint) AS n_attr FROM joined)
+SELECT coalesce(lt.channel, ft.channel) AS channel,
+       coalesce(lt.n_last, 0) AS n_last_touch,
+       coalesce(ft.n_first, 0) AS n_first_touch,
+       coalesce(lt.n_last, 0) - coalesce(ft.n_first, 0) AS credit_delta,
+       cast(coalesce(lt.n_last, 0) * 1000000 // t.n_attr AS bigint) AS last_share_x1e6,
+       cast(coalesce(ft.n_first, 0) * 1000000 // t.n_attr AS bigint) AS first_share_x1e6
+FROM lt FULL OUTER JOIN ft ON ft.channel = lt.channel, tot t
+ORDER BY channel
+""",
+    doc="Attribution model comparison: the same purchases credited under "
+    "LAST-touch and FIRST-touch simultaneously (two row_numbers over "
+    "one user-key join — no second pass), per-channel credit and the "
+    "delta between models — the sensitivity readout that says whether "
+    "the marketing-mix conclusion depends on the attribution choice "
+    "(a channel with positive delta closes deals; negative opens "
+    "them). Same one-shuffle as q_attribution_last_touch.",
+    tags=("funnel", "attribution", "window"),
+)
+def q_attribution_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    )
+    touches = ev.filter(F.col("event_type").isin("view", "click", "signup")).select(
+        "user_id",
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("channel"),
+    )
+    joined = (
+        purchases.join(touches, "user_id")
+        .filter(F.col("t_ts") <= F.col("p_ts"))
+        .select(
+            "p_id",
+            "channel",
+            F.row_number()
+            .over(W.partitionBy("p_id").orderBy(F.desc("t_ts"), F.desc("t_id")))
+            .alias("rnk_last"),
+            F.row_number()
+            .over(W.partitionBy("p_id").orderBy("t_ts", "t_id"))
+            .alias("rnk_first"),
+        )
+    )
+    lt = (
+        joined.filter(F.col("rnk_last") == 1)
+        .groupBy("channel")
+        .agg(F.count(F.lit(1)).alias("n_last"))
+    )
+    ft = (
+        joined.filter(F.col("rnk_first") == 1)
+        .groupBy("channel")
+        .agg(F.count(F.lit(1)).alias("n_first"))
+    )
+    tot = joined.agg(F.countDistinct("p_id").alias("n_attr"))
+    return (
+        lt.join(ft, "channel", "full_outer")
+        .crossJoin(F.broadcast(tot))  # 1-row scalar attach
+        .select(
+            "channel",
+            F.coalesce("n_last", F.lit(0)).alias("n_last_touch"),
+            F.coalesce("n_first", F.lit(0)).alias("n_first_touch"),
+            (
+                F.coalesce("n_last", F.lit(0)) - F.coalesce("n_first", F.lit(0))
+            ).alias("credit_delta"),
+            F.expr(
+                "cast(coalesce(n_last, 0) * 1000000 div n_attr as bigint)"
+            ).alias("last_share_x1e6"),
+            F.expr(
+                "cast(coalesce(n_first, 0) * 1000000 div n_attr as bigint)"
+            ).alias("first_share_x1e6"),
+        )
+        .orderBy("channel")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token burstiness (variance-to-mean dispersion)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "txt_burstiness",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKENS}) AS t FROM documents),
+per AS (SELECT t, doc_id, cast(count(*) AS bigint) AS x FROM tok GROUP BY 1, 2),
+n AS (SELECT cast(count(DISTINCT doc_id) AS bigint) AS n_docs FROM tok),
+agg AS (
+  SELECT t,
+         cast(sum(x) AS bigint) AS coll_freq,
+         cast(sum(x * x) AS bigint) AS sum_sq,
+         cast(count(*) AS bigint) AS doc_freq
+  FROM per GROUP BY t
+),
+top AS (
+  SELECT * FROM agg, n ORDER BY coll_freq DESC, t LIMIT 20
+)
+SELECT t AS token, coll_freq, doc_freq,
+       cast((n_docs::HUGEINT * sum_sq - coll_freq::HUGEINT * coll_freq) * 1000000
+            // (coll_freq::HUGEINT * (n_docs - 1)) AS bigint) AS vmr_x1e6
+FROM top
+ORDER BY coll_freq DESC, t
+""",
+    doc="Token burstiness: variance-to-mean ratio of per-document counts "
+    "for the top-20 tokens, zeros included WITHOUT materializing them "
+    "(VMR = (n*Sx^2 - C^2)/(C*(n-1)) needs only the present-doc sums) "
+    "— the Church-Gale dispersion statistic: ~1e6 means Poisson-spread "
+    "function words, >>1e6 means topical/bursty content words, and a "
+    "spike flags boilerplate injection. One (token, doc) aggregate, "
+    "one token rollup, a 20-row readout.",
+    tags=("text", "stats", "fixed-point"),
+)
+def txt_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6_spark.operators.text import tokens as _tok
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tok(F.col("text"))).alias("t"))
+    per = tok.groupBy("t", "doc_id").agg(F.count(F.lit(1)).alias("x"))
+    n = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
+    agg = per.groupBy("t").agg(
+        F.sum("x").alias("coll_freq"),
+        F.sum(F.expr("x * x")).alias("sum_sq"),
+        F.count(F.lit(1)).alias("doc_freq"),
+    )
+    top = (
+        agg.crossJoin(F.broadcast(n))  # 1-row scalar attach
+        .orderBy(F.desc("coll_freq"), "t")
+        .limit(20)
+    )
+    return top.select(
+        F.col("t").alias("token"),
+        "coll_freq",
+        "doc_freq",
+        F.expr(
+            "cast((cast(n_docs as decimal(38,0)) * sum_sq"
+            " - cast(coll_freq as decimal(38,0)) * coll_freq) * 1000000"
+            " div (cast(coll_freq as decimal(38,0)) * (n_docs - 1)) as bigint)"
+        ).alias("vmr_x1e6"),
+    ).orderBy(F.desc("coll_freq"), "token")
