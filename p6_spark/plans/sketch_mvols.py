@@ -249,3 +249,229 @@ def ml_linreg2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b2_cents_per_discpct_x1e6"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# ANOVA / fit quality for the two-feature OLS
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_linreg2_anova",
+    oracle="""
+WITH pts AS (
+  SELECT cast(l_quantity AS bigint) AS x1,
+         cast(round(l_discount * 100, 0) AS bigint) AS x2,
+         cast(round(l_extendedprice * 100, 0) AS bigint) AS y
+  FROM lineitem
+),
+s AS (
+  SELECT count(*)::HUGEINT AS n,
+         sum(x1)::HUGEINT AS s1, sum(x2)::HUGEINT AS s2, sum(y)::HUGEINT AS sy,
+         sum(x1 * x1)::HUGEINT AS s11, sum(x1 * x2)::HUGEINT AS s12,
+         sum(x2 * x2)::HUGEINT AS s22,
+         sum(x1 * y)::HUGEINT AS s1y, sum(x2 * y)::HUGEINT AS s2y,
+         sum(y * y)::HUGEINT AS syy
+  FROM pts
+),
+d AS (
+  SELECT *,
+         n * (s11 * s22 - s12 * s12)
+           - s1 * (s1 * s22 - s12 * s2)
+           + s2 * (s1 * s12 - s11 * s2) AS det
+  FROM s
+),
+b AS (
+  SELECT n, sy, syy,
+         (sy * (s11 * s22 - s12 * s12)
+            - s1 * (s1y * s22 - s12 * s2y)
+            + s2 * (s1y * s12 - s11 * s2y)) * 1000000 // det AS b0,
+         (n * (s1y * s22 - s12 * s2y)
+            - sy * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s2y - s1y * s2)) * 1000000 // det AS b1,
+         (n * (s11 * s2y - s1y * s12)
+            - s1 * (s1 * s2y - s1y * s2)
+            + sy * (s1 * s12 - s11 * s2)) * 1000000 // det AS b2
+  FROM d
+),
+res AS (
+  SELECT b.n, b.sy, b.syy,
+         sum((p.y * 1000000 - (b.b0 + b.b1 * p.x1 + b.b2 * p.x2))
+             * (p.y * 1000000 - (b.b0 + b.b1 * p.x1 + b.b2 * p.x2)))::HUGEINT
+           AS sse_x1e12
+  FROM pts p, b
+  GROUP BY b.n, b.sy, b.syy
+)
+SELECT cast(n AS bigint) AS n,
+       cast((n * syy - sy * sy) // n // 10000 AS bigint) AS sst_dollars2,
+       cast(sse_x1e12 // 1000000000000 // 10000 AS bigint) AS sse_dollars2,
+       cast(((n * syy - sy * sy) // n - sse_x1e12 // 1000000000000) * 100
+            // ((n * syy - sy * sy) // n) * 10000 AS bigint) AS r2_x1e6_floor
+FROM res
+""",
+    doc="Fit quality for the Cramer-rule regression: SST, SSE, and R^2 "
+    "computed in a second residual pass that reuses ml_linreg2's "
+    "SNAPPED x1e6-integer coefficients — residuals become pure integer "
+    "expressions, so an approximate-by-construction statistic (R^2 of "
+    "the snapped fit) gets an EXACT cross-engine replay. r2 is floored "
+    "to percent precision (x1e6 after the floor) to keep the "
+    "cross-multiplied numerator inside HUGEINT/decimal(38,0) at the "
+    "harness SFs — the precision/headroom tradeoff is explicit, not "
+    "hidden in a float. Two fact scans total (Gramian, residuals).",
+    tags=("ml", "stats", "fixed-point"),
+)
+def ml_linreg2_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+    )
+    dec = "cast(sum({e}) as decimal(38,0))"
+    s = pts.agg(
+        F.expr("cast(count(*) as decimal(38,0))").alias("n"),
+        F.expr(dec.format(e="x1")).alias("s1"),
+        F.expr(dec.format(e="x2")).alias("s2"),
+        F.expr(dec.format(e="y")).alias("sy"),
+        F.expr(dec.format(e="x1 * x1")).alias("s11"),
+        F.expr(dec.format(e="x1 * x2")).alias("s12"),
+        F.expr(dec.format(e="x2 * x2")).alias("s22"),
+        F.expr(dec.format(e="x1 * y")).alias("s1y"),
+        F.expr(dec.format(e="x2 * y")).alias("s2y"),
+        # y*y alone can overflow the long SUM accumulator at sf>=0.1
+        # (1e14 per row x 6e5 rows) — promote per row, not post-sum
+        F.expr("sum(cast(y as decimal(38,0)) * y)").alias("syy"),
+    )
+    d = s.withColumn(
+        "det",
+        F.expr(
+            "n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)"
+            " + s2 * (s1 * s12 - s11 * s2)"
+        ),
+    )
+    b = d.select(
+        "n",
+        "sy",
+        "syy",
+        F.expr(
+            "cast((sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)"
+            " + s2 * (s1y * s12 - s11 * s2y)) * 1000000 div det as bigint)"
+        ).alias("b0"),
+        F.expr(
+            "cast((n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)"
+            " + s2 * (s1 * s2y - s1y * s2)) * 1000000 div det as bigint)"
+        ).alias("b1"),
+        F.expr(
+            "cast((n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)"
+            " + sy * (s1 * s12 - s11 * s2)) * 1000000 div det as bigint)"
+        ).alias("b2"),
+    )
+    res = (
+        pts.crossJoin(F.broadcast(b))  # 1-row model attach
+        .agg(
+            F.first("n").alias("n"),
+            F.first("sy").alias("sy"),
+            F.first("syy").alias("syy"),
+            F.expr(
+                "cast(sum(cast(y * 1000000 - (b0 + b1 * x1 + b2 * x2)"
+                " as decimal(38,0))"
+                " * (y * 1000000 - (b0 + b1 * x1 + b2 * x2))) as decimal(38,0))"
+            ).alias("sse_x1e12"),
+        )
+    )
+    return res.select(
+        F.expr("cast(n as bigint)").alias("n"),
+        # Spark's `div` yields BIGINT, so every quotient must fit int64:
+        # SST is computed as (n*syy - sy^2) div n (one bounded quotient,
+        # identical trunc-div spelling in the oracle) and the r2 ratio
+        # runs at cents^2 scale, never cents^2 * 1e12
+        F.expr("cast((n * syy - sy * sy) div n div 10000 as bigint)").alias(
+            "sst_dollars2"
+        ),
+        F.expr(
+            "cast(sse_x1e12 div 1000000000000 div 10000 as bigint)"
+        ).alias("sse_dollars2"),
+        F.expr(
+            "cast(((n * syy - sy * sy) div n - sse_x1e12 div 1000000000000)"
+            " * 100 div ((n * syy - sy * sy) div n) * 10000 as bigint)"
+        ).alias("r2_x1e6_floor"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Code-vs-prose scoring
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "txt_code_score",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id,
+         length(text) AS n_chars_s,
+         length(regexp_replace(text, '[^{}()\\[\\];=<>]', '', 'g')) AS n_code_sym,
+         length(regexp_replace(text, '[^.!?,]', '', 'g')) AS n_prose_punct
+  FROM documents
+),
+rated AS (
+  SELECT doc_id,
+         cast(n_code_sym * 1000000 // greatest(n_chars_s, 1) AS bigint)
+           AS code_sym_x1e6,
+         cast(n_prose_punct * 1000000 // greatest(n_chars_s, 1) AS bigint)
+           AS prose_punct_x1e6,
+         CASE WHEN n_code_sym * 50 > n_chars_s THEN 'code'
+              WHEN n_code_sym * 200 > n_chars_s THEN 'mixed'
+              ELSE 'prose' END AS verdict
+  FROM scored
+)
+SELECT verdict,
+       cast(count(*) AS bigint) AS n_docs,
+       cast(sum(code_sym_x1e6) // count(*) AS bigint) AS avg_code_sym_x1e6,
+       cast(sum(prose_punct_x1e6) // count(*) AS bigint) AS avg_prose_punct_x1e6
+FROM rated GROUP BY verdict ORDER BY verdict
+""",
+    doc="Code-vs-prose scoring: per-document density of code symbols "
+    "({}()[];=<>) vs prose punctuation, thresholded by exact "
+    "cross-multiplied integer comparisons (code > 2% symbols, mixed > "
+    "0.5%) — the corpus-routing gate that decides which quality rules "
+    "and dedup settings apply (code corpora tolerate repetition prose "
+    "rules would kill). Pure regexp counting in codegen, zero shuffle "
+    "before the 3-row rollup; complements txt_langid (natural "
+    "language) and txt_quality (prose heuristics).",
+    tags=("text", "quality", "routing", "fixed-point"),
+)
+def txt_code_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_s"),
+        F.length(F.regexp_replace("text", r"[^{}()\[\];=<>]", "")).alias(
+            "n_code_sym"
+        ),
+        F.length(F.regexp_replace("text", r"[^.!?,]", "")).alias("n_prose_punct"),
+    )
+    rated = scored.select(
+        F.expr("cast(n_code_sym * 1000000 div greatest(n_chars_s, 1) as bigint)").alias(
+            "code_sym_x1e6"
+        ),
+        F.expr(
+            "cast(n_prose_punct * 1000000 div greatest(n_chars_s, 1) as bigint)"
+        ).alias("prose_punct_x1e6"),
+        F.when(F.col("n_code_sym") * 50 > F.col("n_chars_s"), "code")
+        .when(F.col("n_code_sym") * 200 > F.col("n_chars_s"), "mixed")
+        .otherwise("prose")
+        .alias("verdict"),
+    )
+    return (
+        rated.groupBy("verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("cast(sum(code_sym_x1e6) div count(*) as bigint)").alias(
+                "avg_code_sym_x1e6"
+            ),
+            F.expr("cast(sum(prose_punct_x1e6) div count(*) as bigint)").alias(
+                "avg_prose_punct_x1e6"
+            ),
+        )
+        .orderBy("verdict")
+    )
