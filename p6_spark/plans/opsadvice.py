@@ -1,0 +1,173 @@
+"""Operational-analytics closers: period-over-period contribution
+analysis (the why-did-the-metric-move decomposition) and a partition-
+sizing advisor computed from in-data byte estimates — both exact
+integers with DuckDB twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from p6_spark.plans.registry import register
+from p6_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Contribution analysis (period-over-period decomposition)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_contribution_analysis",
+    oracle="""
+WITH per AS (
+  SELECT n.n_name AS nation,
+         cast(sum(CASE WHEN year(o.o_orderdate) = 1996
+                  THEN cast(round(o.o_totalprice * 100, 0) AS bigint)
+                  ELSE 0 END) AS bigint) AS cents_a,
+         cast(sum(CASE WHEN year(o.o_orderdate) = 1997
+                  THEN cast(round(o.o_totalprice * 100, 0) AS bigint)
+                  ELSE 0 END) AS bigint) AS cents_b
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  WHERE year(o.o_orderdate) IN (1996, 1997)
+  GROUP BY n.n_name
+),
+tot AS (SELECT cast(sum(cents_b - cents_a) AS bigint) AS total_delta FROM per)
+SELECT nation, cents_a, cents_b,
+       cast(cents_b - cents_a AS bigint) AS delta_cents,
+       cast((cents_b - cents_a) * 1000000 // t.total_delta AS bigint)
+         AS delta_share_x1e6
+FROM per, tot t
+ORDER BY abs(cents_b - cents_a) DESC, nation
+LIMIT 10
+""",
+    doc="Contribution analysis: the 1996->1997 revenue delta decomposed "
+    "per customer nation — which segments DROVE the change and which "
+    "offset it (negative shares) — the root-cause drilldown behind "
+    "every 'why did the metric move' question, reduced to ONE "
+    "conditional aggregate over the joined fact (both periods in one "
+    "pass, no self-join of two period queries). Top-10 by absolute "
+    "impact with a name tiebreak; the 1-row total-delta scalar "
+    "broadcasts.",
+    tags=("bi", "decomposition", "agg", "fixed-point"),
+)
+def q_contribution_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    per = (
+        orders.filter(F.year("o_orderdate").isin(1996, 1997))
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              orders.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                F.when(F.year("o_orderdate") == 1996, cents).otherwise(0)
+            ).alias("cents_a"),
+            F.sum(
+                F.when(F.year("o_orderdate") == 1997, cents).otherwise(0)
+            ).alias("cents_b"),
+        )
+    )
+    tot = per.agg(
+        F.sum(F.col("cents_b") - F.col("cents_a")).alias("total_delta")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))  # 1-row scalar attach
+        .select(
+            "nation",
+            "cents_a",
+            "cents_b",
+            (F.col("cents_b") - F.col("cents_a")).alias("delta_cents"),
+            F.expr(
+                "cast((cents_b - cents_a) * 1000000 div total_delta as bigint)"
+            ).alias("delta_share_x1e6"),
+        )
+        .orderBy(F.abs(F.col("delta_cents")).desc(), "nation")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partition-sizing advisor
+# ---------------------------------------------------------------------------
+
+_PA_TARGET_MB = 128
+
+
+def _pa_sql_one(tbl: str, row_bytes_expr: str) -> str:
+    return f"""
+SELECT '{tbl}' AS tbl,
+       cast(count(*) AS bigint) AS n_rows,
+       cast(sum({row_bytes_expr}) AS bigint) AS est_bytes,
+       cast(greatest(1, sum({row_bytes_expr}) // ({_PA_TARGET_MB} * 1048576))
+            AS bigint) AS rec_partitions,
+       cast(count(*) // greatest(1, sum({row_bytes_expr})
+            // ({_PA_TARGET_MB} * 1048576)) AS bigint) AS rows_per_partition
+FROM {tbl}"""
+
+
+_PA_TABLES = [
+    (
+        "lineitem",
+        "8*4 + 4 + 8 + length(l_returnflag) + length(l_linestatus) + 8",
+    ),
+    ("orders", "8*2 + length(o_orderstatus) + 8 + 8 + length(o_orderpriority)"),
+    ("documents", "8 + length(text) + length(lang) + length(source) + 8"),
+    ("events", "8*3 + 8 + length(event_type) + length(props)"),
+]
+
+
+@register(
+    "q_partition_advisor",
+    oracle="\nUNION ALL\n".join(_pa_sql_one(t, e) for t, e in _PA_TABLES)
+    + "\nORDER BY tbl",
+    doc="Partition-sizing advisor: per table, estimated uncompressed "
+    "bytes from typed column widths + string lengths, the recommended "
+    "shuffle/write partition count at a 128 MB target, and rows per "
+    "partition — the number that sets spark.sql.shuffle.partitions "
+    "and repartition() before a big write (too few = spill, too many "
+    "= small-files). One aggregate per table; byte estimation is "
+    "map-side column math. At 100 TB this runs per table partition "
+    "and feeds the write planner.",
+    tags=("layout", "advisor", "agg"),
+)
+def q_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    specs = [
+        (
+            "lineitem",
+            "8*4 + 4 + 8 + length(l_returnflag) + length(l_linestatus) + 8",
+        ),
+        ("orders", "8*2 + length(o_orderstatus) + 8 + 8 + length(o_orderpriority)"),
+        ("documents", "8 + length(text) + length(lang) + length(source) + 8"),
+        ("events", "8*3 + 8 + length(event_type) + length(props)"),
+    ]
+    target = _PA_TARGET_MB * 1048576
+    out = None
+    for tbl, expr in specs:
+        df = _t(spark, sf_dir, tbl)
+        row = df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.expr(expr)).alias("est_bytes"),
+        ).select(
+            F.lit(tbl).alias("tbl"),
+            "n_rows",
+            "est_bytes",
+            F.expr(f"greatest(1, est_bytes div {target})").alias("rec_partitions"),
+            F.expr(
+                f"cast(n_rows div greatest(1, est_bytes div {target}) as bigint)"
+            ).alias("rows_per_partition"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("tbl")
