@@ -171,3 +171,85 @@ def q_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out.orderBy("tbl")
+
+
+# ---------------------------------------------------------------------------
+# Share-of-parent hierarchy ratios
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_share_of_parent",
+    oracle="""
+WITH rev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         cast(sum(cast(round(o.o_totalprice * 100, 0) AS bigint)) AS bigint) AS cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY r.r_name, n.n_name
+),
+shares AS (
+  SELECT region, nation, cents,
+         sum(cents) OVER (PARTITION BY region) AS region_cents,
+         sum(cents) OVER () AS total_cents
+  FROM rev
+)
+SELECT region, nation, cents,
+       cast(cents * 1000000 // region_cents AS bigint) AS share_of_region_x1e6,
+       cast(region_cents * 1000000 // total_cents AS bigint) AS region_share_x1e6
+FROM shares
+ORDER BY region, nation
+""",
+    doc="Share-of-parent hierarchy ratios: each nation's share of its "
+    "region and each region's share of the total, off ONE "
+    "(region, nation) aggregate with two windows over the 25-row "
+    "result — the percent-of-parent column every drilldown UI shows. "
+    "Dims broadcast onto the fact, the fact shuffles once for the "
+    "rollup, and the windows never touch row-level data.",
+    tags=("bi", "hierarchy", "window", "fixed-point"),
+)
+def q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    rev = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    shares = rev.select(
+        "region",
+        "nation",
+        "cents",
+        F.sum("cents").over(W.partitionBy("region")).alias("region_cents"),
+        F.sum("cents").over(W.partitionBy()).alias("total_cents"),
+    )
+    return shares.select(
+        "region",
+        "nation",
+        "cents",
+        F.expr("cast(cents * 1000000 div region_cents as bigint)").alias(
+            "share_of_region_x1e6"
+        ),
+        F.expr("cast(region_cents * 1000000 div total_cents as bigint)").alias(
+            "region_share_x1e6"
+        ),
+    ).orderBy("region", "nation")
