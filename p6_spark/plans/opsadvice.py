@@ -253,3 +253,146 @@ def q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             "region_share_x1e6"
         ),
     ).orderBy("region", "nation")
+
+
+# ---------------------------------------------------------------------------
+# k-means elbow curve (inertia vs k) over the fixed-point Lloyd build
+# ---------------------------------------------------------------------------
+
+
+def _sql_kmeans_chain(k: int, p: str) -> str:
+    """CTE chain (prefix `p`) replaying train_centroids_fixed(k, iters=2)
+    over the shared e/el CTEs, ending in {p}df (vec x centroid dists)."""
+    return f"""
+{p}seeds AS (
+  SELECT cid, qv FROM (
+    SELECT qv,
+           row_number() OVER (
+             ORDER BY ('0x' || substr(md5(cast(vec_id AS varchar)), 1, 8))::bigint,
+                      vec_id) - 1 AS cid
+    FROM e
+  ) WHERE cid < {k}
+),
+{p}c0 AS (
+  SELECT cid, g.i AS pos, qv[g.i] AS m
+  FROM {p}seeds, generate_series(1, 64) AS g(i)
+),
+{p}d1 AS (
+  SELECT el.vec_id, c.cid, sum((el.v - c.m) * (el.v - c.m)) AS d
+  FROM el JOIN {p}c0 c ON c.pos = el.pos
+  GROUP BY el.vec_id, c.cid
+),
+{p}a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM {p}d1
+  ) WHERE rn = 1
+),
+{p}u1 AS (
+  SELECT a.cid, el.pos, cast(sum(el.v) AS bigint) AS s, count(*) AS n
+  FROM {p}a1 a JOIN el ON el.vec_id = a.vec_id
+  GROUP BY a.cid, el.pos
+),
+{p}c1 AS (
+  SELECT c0.cid, c0.pos, coalesce(u.s // u.n, c0.m) AS m
+  FROM {p}c0 c0 LEFT JOIN {p}u1 u ON u.cid = c0.cid AND u.pos = c0.pos
+),
+{p}d2 AS (
+  SELECT el.vec_id, c.cid, sum((el.v - c.m) * (el.v - c.m)) AS d
+  FROM el JOIN {p}c1 c ON c.pos = el.pos
+  GROUP BY el.vec_id, c.cid
+),
+{p}a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM {p}d2
+  ) WHERE rn = 1
+),
+{p}u2 AS (
+  SELECT a.cid, el.pos, cast(sum(el.v) AS bigint) AS s, count(*) AS n
+  FROM {p}a2 a JOIN el ON el.vec_id = a.vec_id
+  GROUP BY a.cid, el.pos
+),
+{p}c2 AS (
+  SELECT c1.cid, c1.pos, coalesce(u.s // u.n, c1.m) AS m
+  FROM {p}c1 c1 LEFT JOIN {p}u2 u ON u.cid = c1.cid AND u.pos = c1.pos
+),
+{p}df AS (
+  SELECT el.vec_id, c.cid, sum((el.v - c.m) * (el.v - c.m)) AS d
+  FROM el JOIN {p}c2 c ON c.pos = el.pos
+  GROUP BY el.vec_id, c.cid
+)"""
+
+
+def _sql_kmeans_elbow() -> str:
+    chains = ",".join(_sql_kmeans_chain(k, p) for k, p in [(2, "ka_"), (4, "kb_"), (8, "kc_")])
+    rows = []
+    for k, p in [(2, "ka_"), (4, "kb_"), (8, "kc_")]:
+        rows.append(f"""
+SELECT {k} AS k,
+       (SELECT cast(sum(md) AS bigint)
+        FROM (SELECT vec_id, min(d) AS md FROM {p}df GROUP BY vec_id)) AS inertia,
+       (SELECT cast(count(DISTINCT cid) AS bigint) FROM (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+            FROM {p}df) WHERE rn = 1)) AS n_clusters_used""")
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding::double[],
+                        x -> cast(round(x * 10000, 0) AS bigint)) AS qv
+  FROM embeddings
+),
+el AS (
+  SELECT e.vec_id, g.i AS pos, qv[g.i] AS v
+  FROM e, generate_series(1, 64) AS g(i)
+),{chains}
+{" UNION ALL ".join(rows)}
+ORDER BY k
+"""
+
+
+@register(
+    "ml_kmeans_elbow",
+    oracle=_sql_kmeans_elbow(),
+    doc="k-means elbow curve: total inertia after the same 2-round "
+    "fixed-point Lloyd build sim_ivf_ann uses, at k = 2, 4, 8 — the "
+    "measurement that picks k (the elbow where marginal inertia drop "
+    "flattens), completing the clustering-tuning trio with "
+    "sim_ivf_probe_sweep (n_probe) and dd_lsh_tuning (bands). Every "
+    "build is integer arithmetic from md5-ordered seeds, so all three "
+    "curves replay exactly in the DuckDB unrolled chains; Spark-side "
+    "each k is one codegen-argmin scan + one broadcast-centroid "
+    "distance pass over the shared quantized corpus.",
+    tags=("ml", "clustering", "tuning", "fixed-point"),
+)
+def ml_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6_spark.operators.ivf import (
+        _assign_fixed,
+        _sq_dist_long,
+        quantize,
+        train_centroids_fixed,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", quantize(F.col("embedding")).alias("qv")).localCheckpoint()
+    out = None
+    for k in (2, 4, 8):
+        model = train_centroids_fixed(emb, k=k, iters=2)
+        cent = spark.createDataFrame(
+            [(cid, [int(x) for x in vec]) for cid, vec in enumerate(model)],
+            "cid int, cvec array<bigint>",
+        )
+        assigned = _assign_fixed(q, "qv", model)
+        row = (
+            assigned.join(F.broadcast(cent), "cid")
+            .select(_sq_dist_long(F.col("qv"), F.col("cvec")).alias("d"), "cid")
+            .agg(
+                F.sum("d").alias("inertia"),
+                F.countDistinct("cid").alias("n_clusters_used"),
+            )
+            .select(F.lit(k).alias("k"), "inertia", "n_clusters_used")
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("k")
