@@ -118,6 +118,41 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     )
 
 
+def frame_energy(media: DataFrame, frame_bytes: int = 64) -> DataFrame:
+    """Audio frame-energy plumbing: payload bytes chunked into fixed-size
+    frames, integer energy (sum of squared centered samples) per frame,
+    via an Arrow mapInPandas stage. Samples are read as unsigned 8-bit
+    PCM centered at 128 — swap the frombuffer line for a real libav
+    decode and nothing else changes. All-integer output, so the stage is
+    hash-certifiable cross-engine; payload bytes stay executor-local."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            frames: list[int] = []
+            energies: list[int] = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload or b"")
+                arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64) - 128
+                n_frames = (len(arr) + frame_bytes - 1) // frame_bytes
+                for fi in range(n_frames):
+                    seg = arr[fi * frame_bytes : (fi + 1) * frame_bytes]
+                    ids.append(mid)
+                    frames.append(fi)
+                    energies.append(int((seg * seg).sum()))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": frames, "energy": energies},
+                dtype="int64",
+            )
+
+    return (
+        media.filter(F.col("kind") == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(run, schema="media_id long, frame_idx long, energy long")
+    )
+
+
 def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
     """Video frame-sampling plumbing: one output row per sampled frame
     timestamp (explode on a computed sequence — pure column logic; the

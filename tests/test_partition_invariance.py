@@ -52,6 +52,13 @@ INVARIANT_QUERIES = [
     "pipe_drop_funnel",         # per-source stage attrition counts
     "txt_novelty_curve",        # min-per-shingle first-seen join
     "q_growth_accounting",      # distinct (user,week) ledger
+    # ordinal/risk closing batch
+    "q_kendall_gamma",          # contingency-cell pair products
+    "ml_roc_auc",               # tie-aware rank-sum AUC
+    "q_bollinger_breach",       # squared-comparison band test
+    "q_graph_link_predict",     # degree-capped wedge join + RA index
+    "q_welch_ttest",            # staged trunc-div t^2
+    "mm_audio_energy",          # Arrow frame-energy stage
 ]
 
 
