@@ -59,6 +59,8 @@ INVARIANT_QUERIES = [
     "q_graph_link_predict",     # degree-capped wedge join + RA index
     "q_welch_ttest",            # staged trunc-div t^2
     "mm_audio_energy",          # Arrow frame-energy stage
+    "q_interval_union",         # per-user sweep-line islands
+    "q_theil_index",            # snapped-ln weighted entropy
 ]
 
 
