@@ -78,6 +78,11 @@ HEADLINE = [
     "ml_feature_importance",
     "q_continuous_agg",
     "q_rfm_segments",
+    # closing batch: ordinal / risk / eval
+    "ml_roc_auc",
+    "q_max_drawdown",
+    "q_welch_ttest",
+    "q_theil_index",
 ]
 
 

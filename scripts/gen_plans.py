@@ -167,6 +167,24 @@ PICKS = {
         "cumulative window over the collapsed value table; the fact "
         "table is scanned once per feature, thresholds never rescan."
     ),
+    "q_kendall_gamma": (
+        "Gamma: the fact table collapses to the 50x11 contingency cells "
+        "in ONE partial-agg Exchange; the concordant/discordant pair "
+        "count is a broadcast self-join over cells — pair counting "
+        "never touches row pairs at any SF."
+    ),
+    "q_graph_link_predict": (
+        "Link prediction: distinct edges -> per-part degree with a "
+        "2..50 cap BEFORE the wedge self-join, so the quadratic "
+        "expansion is bounded per part; top-20 is "
+        "TakeOrderedAndProject under a total order."
+    ),
+    "q_interval_union": (
+        "Sweep-line: one Exchange on user_id feeds the running-max-end "
+        "window, the island prefix sum, and both rollups — the "
+        "sessionize shuffle shape; no global sort, top-25 is "
+        "TakeOrderedAndProject."
+    ),
 }
 
 

@@ -14,7 +14,7 @@ from p6_spark.plans import QUERIES, get_queries
 get_queries()
 
 # queries whose plans legitimately contain an Arrow Python stage
-ARROW_PYTHON_OK = {"mm_features", "mm_resize"}
+ARROW_PYTHON_OK = {"mm_features", "mm_resize", "mm_audio_energy"}
 # broadcast 1-row scalar attach or documented brute-force baseline
 CARTESIAN_OK = {"sim_cosine_topk"}
 
