@@ -61,6 +61,8 @@ INVARIANT_QUERIES = [
     "mm_audio_energy",          # Arrow frame-energy stage
     "q_interval_union",         # per-user sweep-line islands
     "q_theil_index",            # snapped-ln weighted entropy
+    "ml_cohens_kappa",          # cross-multiplied 2x2 agreement
+    "q_islands_daily",          # lag-diff islands over the calendar
 ]
 
 
