@@ -330,3 +330,23 @@ def test_column_profile_single_scan(spark, sf_dir):
     # stack unpivot), not one scan per column like the oracle spec
     plan = plan_of(QUERIES["pipe_column_profile"].build(spark, sf_dir))
     assert plan.count("orders.parquet") == 1
+
+
+def test_kendall_gamma_pair_join_stays_on_cells(spark, sf_dir):
+    # the pair counting must be a broadcast join over the contingency
+    # cells — never a shuffle or nested loop over row pairs (at run
+    # time AQE additionally reuses the cells Exchange for both sides;
+    # that shows only in the executed plan, so it isn't asserted here)
+    plan = plan_of(QUERIES["q_kendall_gamma"].build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_link_predict_caps_degree_before_wedge_join(spark, sf_dir):
+    # top-20 must be TakeOrderedAndProject (no global sort) and the
+    # wedge expansion must be an equi-join, never nested-loop
+    plan = plan_of(QUERIES["q_graph_link_predict"].build(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
