@@ -150,9 +150,9 @@ per AS (
   FROM labeled GROUP BY brand
 )
 SELECT brand, n, p,
-       cast((p * g.n_tot + 10 * g.p_tot) * 1000000
-            // ((n + 10) * g.n_tot) AS bigint) AS enc_x1e6,
-       cast(g.p_tot * 1000000 // g.n_tot AS bigint) AS prior_x1e6
+       cast((p::HUGEINT * g.n_tot + 10 * g.p_tot) * 1000000
+            // ((n + 10)::HUGEINT * g.n_tot) AS bigint) AS enc_x1e6,
+       cast(g.p_tot::HUGEINT * 1000000 // g.n_tot AS bigint) AS prior_x1e6
 FROM per, g
 ORDER BY brand
 """,
@@ -188,12 +188,13 @@ def ml_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "p",
             F.expr(
-                "cast((p * n_tot + 10 * p_tot) * 1000000"
-                " div ((n + 10) * n_tot) as bigint)"
+                "cast((cast(p as decimal(38,0)) * n_tot + 10 * p_tot) * 1000000"
+                " div (cast(n + 10 as decimal(38,0)) * n_tot) as bigint)"
             ).alias("enc_x1e6"),
-            F.expr("cast(p_tot * 1000000 div n_tot as bigint)").alias(
-                "prior_x1e6"
-            ),
+            F.expr(
+                "cast(cast(p_tot as decimal(38,0)) * 1000000 div n_tot"
+                " as bigint)"
+            ).alias("prior_x1e6"),
         )
         .orderBy("brand")
     )

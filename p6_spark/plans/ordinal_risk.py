@@ -217,33 +217,44 @@ WITH daily AS (
   FROM orders GROUP BY 1, 2
 ),
 runs AS (
-  SELECT prio,
-         sum(cents) OVER (PARTITION BY prio ORDER BY day) AS run
+  SELECT prio, day,
+         row_number() OVER (PARTITION BY prio ORDER BY day) AS t,
+         sum(cents)   OVER (PARTITION BY prio ORDER BY day) AS run,
+         count(*)     OVER (PARTITION BY prio) AS n,
+         sum(cents)   OVER (PARTITION BY prio) AS tot
   FROM daily
 ),
-dd AS (
-  SELECT prio, run,
-         max(run) OVER (PARTITION BY prio ORDER BY run ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+eqs AS (
+  SELECT prio, day, n, tot,
+         n::HUGEINT * run - t::HUGEINT * tot AS eq
   FROM runs
+),
+dd AS (
+  SELECT prio, n, tot, eq,
+         max(eq) OVER (PARTITION BY prio ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+  FROM eqs
 )
 SELECT prio,
-       cast(count(*) AS bigint) AS n_days,
-       cast(max(peak - run) AS bigint) AS max_drawdown_cents,
-       cast(max(run) AS bigint) AS total_cents
+       cast(max(n) AS bigint) AS n_days,
+       cast(max(peak - eq) AS bigint) AS max_drawdown_cents_xn,
+       cast(max(tot) AS bigint) AS total_cents
 FROM dd
 GROUP BY prio
 ORDER BY prio
 """,
-    doc="Maximum drawdown of the cumulative daily revenue 'equity curve' "
-    "per order priority — the risk-series staple (largest peak-to-trough "
-    "drop of the running total). Two prefix scans over the DAILY series: "
-    "cumulative revenue, then running peak, then max(peak - run). The "
-    "fact table collapses to one row per (priority, day) first, so the "
-    "window partition is calendar-bounded (~2400 rows) regardless of "
-    "SF; everything is exact cents. NOTE the oracle's running-max "
-    "orders by `run` only because a cumsum of positive daily revenue is "
-    "monotone in day order — day and run sort identically; Spark "
-    "orders by day explicitly.",
+    doc="Maximum drawdown of the DEMEANED cumulative daily revenue "
+    "'equity curve' per order priority — the risk-series staple "
+    "(largest peak-to-trough drop of the running total relative to "
+    "trend). The raw cumsum of strictly-positive daily cents is "
+    "monotone, so its drawdown is identically 0 (ADVICE r3); instead "
+    "the curve is de-trended exactly in integers: eq_t = N*run_t - "
+    "t*TOTAL (the demeaned cumsum scaled by N, which starts and ends "
+    "at 0 and genuinely dips), then running peak in DAY order, then "
+    "max(peak - eq). Units are cents*N_days. Two prefix scans over the "
+    "DAILY series; the fact table collapses to one row per (priority, "
+    "day) first, so the window partition is calendar-bounded (~2400 "
+    "rows) regardless of SF; N*run stays exact via decimal(38,0)/"
+    "HUGEINT.",
     tags=("timeseries", "window", "fixed-point"),
 )
 def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -258,16 +269,31 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("c").alias("cents"))
     )
     wday = W.partitionBy("prio").orderBy("day")
-    runs = daily.withColumn("run", F.sum("cents").over(wday))
+    wall = W.partitionBy("prio")
+    runs = (
+        daily.withColumn("t", F.row_number().over(wday))
+        .withColumn("run", F.sum("cents").over(wday))
+        .withColumn("n", F.count(F.lit(1)).over(wall))
+        .withColumn("tot", F.sum("cents").over(wall))
+        .withColumn(
+            "eq",
+            F.expr(
+                "cast(n as decimal(38,0)) * run"
+                " - cast(t as decimal(38,0)) * tot"
+            ),
+        )
+    )
     dd = runs.withColumn(
-        "peak", F.max("run").over(wday.rowsBetween(W.unboundedPreceding, 0))
+        "peak", F.max("eq").over(wday.rowsBetween(W.unboundedPreceding, 0))
     )
     return (
         dd.groupBy("prio")
         .agg(
-            F.count(F.lit(1)).alias("n_days"),
-            F.max(F.col("peak") - F.col("run")).alias("max_drawdown_cents"),
-            F.max("run").alias("total_cents"),
+            F.max("n").cast("long").alias("n_days"),
+            F.max(F.col("peak") - F.col("eq"))
+            .cast("long")
+            .alias("max_drawdown_cents_xn"),
+            F.max("tot").cast("long").alias("total_cents"),
         )
         .orderBy("prio")
     )

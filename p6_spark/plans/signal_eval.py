@@ -126,7 +126,8 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_audio_energy",
     oracle="""
 WITH aud AS (
-  SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 1
+  SELECT doc_id AS media_id, text FROM documents
+  WHERE doc_id % 3 = 1 AND octet_length(encode(text)) = length(text)
 ),
 codes AS (
   SELECT media_id, i, ascii(substr(text, i, 1)) - 128 AS c
@@ -164,7 +165,13 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from p6_spark.operators.multimodal import frame_energy
 
     docs = load_table(spark, sf_dir, "documents")
-    media = docs.filter(F.col("doc_id") % 3 == 1).select(
+    # ASCII guard (ADVICE r3): the oracle frames by CHARACTERS while the
+    # Spark path frames UTF-8 BYTES — parity is only defined where the two
+    # coincide, so both sides restrict to pure-ASCII payloads explicitly.
+    media = docs.filter(
+        (F.col("doc_id") % 3 == 1)
+        & (F.octet_length("text") == F.length("text"))
+    ).select(
         F.col("doc_id").alias("media_id"),
         F.lit("audio").alias("kind"),
         F.encode(F.col("text"), "UTF-8").alias("payload"),

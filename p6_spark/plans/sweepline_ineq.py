@@ -36,7 +36,7 @@ WITH iv AS (
   FROM events
 ),
 marked AS (
-  SELECT user_id, s, e,
+  SELECT user_id, event_id, s, e,
          CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                    IS NULL
@@ -47,7 +47,7 @@ marked AS (
 ),
 islands AS (
   SELECT user_id, s, e,
-         sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+         sum(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
   FROM marked
 ),
@@ -111,8 +111,13 @@ def q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
         ).otherwise(0),
     )
+    # (s, event_id) — the SAME total order as the flag window; ordering by
+    # (s, e) was only a partial order and could mislabel islands under
+    # (ts, value) ties (ADVICE r3).
     w_cum = (
-        W.partitionBy("user_id").orderBy("s", "e").rowsBetween(W.unboundedPreceding, 0)
+        W.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
     )
     islands = marked.withColumn("island", F.sum("new_island").over(w_cum))
     per_island = islands.groupBy("user_id", "island").agg(
