@@ -146,6 +146,58 @@ def test_phenocopy_workbook_golden(spark):
     assert any("zygosity" in m or "inheritance" in m for m in errors)
 
 
+def test_phenocopy_packet_byte_golden(spark, tmp_path):
+    """Byte-level goldens for the phenocopy workbook — the harder
+    serialization cases the Sydney packet doesn't cover (VERDICT r3
+    item 5):
+
+    - XXXXYYYY1: the multi-record zip-truncation patient. zygosity
+      'het/hom/comphet/hemi/mosaic' zips against inheritance
+      'unknown/inherited/denovo' and TRUNCATES to 3 records (reference
+      src/P6/mapper.py:247-260), so the packet carries THREE
+      interpretations '{patient}-interpretation-{0,1,2}' over the same
+      chr-stripped expression '16:g.16177614C>T', with per-record
+      allelicState {GENO:0000135 heterozygous, GENO:0000134 homozygous,
+      GENO:0000191 compound_heterozygosity} (genotype.py:58-64).
+    - se3453r: 'hp 0100753' and bare-digit HPO forms zero-pad to
+      HP:0100753 / HP:0001250 (test_mapper_parse_phenotype_row.py
+      forms), and — the quirk worth pinning — status 'E' (excluded)
+      falls through _to_bool's fallback `bool('E')` == True
+      (mapper.py:219-236), so the reference NEVER sets
+      feature.excluded for O/E statuses and the features serialize as
+      bare type.id objects.
+    """
+    import json
+
+    tables = load_workbook(spark, PHENOCOPY)
+    res = apply_mapping(spark, tables)
+    fixtures = os.path.join(os.path.dirname(__file__), "fixtures")
+    for pid, fname in [
+        ("XXXXYYYY1", "phenocopy_packet_xxxxyyyy1.golden.json"),
+        ("se3453r", "phenocopy_packet_se3453r.golden.json"),
+    ]:
+        got = json.loads(
+            res.packets.filter(f"id = '{pid}'").toJSON().collect()[0]
+        )
+        with open(os.path.join(fixtures, fname)) as f:
+            golden_text = f.read()
+        assert json.dumps(got, indent=2) + "\n" == golden_text, pid
+    # and the explosion patient through the real per-patient file sink
+    from p6_spark.operators.packet import write_packet_files
+
+    n = write_packet_files(
+        res.packets.filter("id = 'XXXXYYYY1'"), str(tmp_path / "pkts")
+    )
+    assert n == 1
+    with open(tmp_path / "pkts" / "phenopacket_0.json") as f:
+        on_disk = json.load(f)
+    with open(
+        os.path.join(fixtures, "phenocopy_packet_xxxxyyyy1.golden.json")
+    ) as f:
+        assert on_disk == json.load(f)
+    assert len(on_disk["interpretations"]) == 3
+
+
 def test_parse_excel_cli_on_real_xlsx(tmp_path, capsys, spark):
     from p6_spark.cli import main
 
