@@ -350,3 +350,67 @@ def test_link_predict_caps_degree_before_wedge_join(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """AQE skew-join proof (VERDICT r3 item 6): a deliberately skewed
+    shuffle join — one hot key carrying ~a third of a padded left side —
+    must show OptimizeSkewedJoin's split in the EXECUTED adaptive plan
+    (the SMJ is tagged skew=true). This documents when manual salting
+    (operators/skew.salted_join, certified by q_salted_join) is
+    unnecessary: AQE already splits oversized shuffle partitions at
+    runtime for plain equi-joins; salting remains the tool for pre-AQE
+    engines or hot keys on a broadcast-ineligible build side.
+
+    Thresholds are lowered test-side only because the default skew
+    trigger is 256 MB per partition — the SHAPE of the executed plan,
+    not the thresholds, is what's being pinned.
+    """
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "32KB",
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        left = (
+            spark.range(0, 300_000)
+            .select(
+                F.when(F.col("id") % 3 == 0, F.lit(0))
+                .otherwise(F.col("id"))
+                .alias("k"),
+                F.col("id").alias("v"),
+            )
+            # incompressible payload: identical keys alone compress away
+            # in the shuffle and duck under the skew byte threshold
+            .withColumn("pad", F.sha2(F.col("v").cast("string"), 256))
+        )
+        right = spark.range(0, 2_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        joined = left.join(right, "k").groupBy().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("w").alias("sw"),
+            F.sum(F.length("pad")).alias("sp"),
+        )
+        [row] = joined.collect()
+        # correctness first: hot key 0 matches right k=0 (w=0), the
+        # 200k non-hot left keys >= 2000 never match, keys 1..1999 do
+        assert row["n"] == 100_000 + len([k for k in range(1, 2000) if k % 3 != 0])
+        assert row["sp"] == row["n"] * 64
+        executed = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in executed, executed[:2000]
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
