@@ -233,3 +233,109 @@ def dd_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Arbitrary-offset duplicate spans (suffix-style substring dedup)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dd_substring_spans",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+sh AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(w[i:i+7], ' ') AS shingle
+  FROM words, unnest(generate_series(1, len(w) - 7)) AS t(i)
+  WHERE len(w) >= 8
+),
+dup AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) >= 2
+),
+hits AS (
+  SELECT s.doc_id, s.pos,
+         s.pos - row_number() OVER (PARTITION BY s.doc_id ORDER BY s.pos)
+           AS island
+  FROM sh s JOIN dup USING (shingle)
+),
+spans AS (
+  SELECT doc_id, island,
+         min(pos) AS s0, max(pos) + 7 AS e0,
+         count(*) AS n_shingles
+  FROM hits GROUP BY 1, 2
+)
+SELECT doc_id,
+       cast(count(*) AS bigint) AS n_dup_spans,
+       cast(max(e0 - s0 + 1) AS bigint) AS longest_span_words,
+       cast(sum(n_shingles) AS bigint) AS n_dup_shingles
+FROM spans
+GROUP BY doc_id
+ORDER BY longest_span_words DESC, doc_id
+LIMIT 25
+""",
+    doc="Arbitrary-offset duplicate SPANS — the finer-grained exact "
+    "substring dedup that fixed-chunk dd_segment_dedup misses (a "
+    "duplicated paragraph straddling a chunk boundary dedups here, not "
+    "there). Spark-shaped equivalent of the public suffix-array "
+    "approach: every 8-word shingle with its word offset (one "
+    "JVM-side transform+posexplode, no Python), shingles occurring "
+    ">= 2 times corpus-wide mark duplicated positions (one "
+    "shingle-keyed aggregate — the suffix-sort stand-in), and per-doc "
+    "runs of consecutive duplicated positions extend into MAXIMAL "
+    "spans via gaps-and-islands (pos - row_number over the doc "
+    "partition, bounded by doc length). Span of an island "
+    "[min_pos, max_pos + k - 1] covers max_pos-min_pos+k words. The "
+    "shingle STRING itself is the join key — engine-portable, no hash "
+    "mismatch. Scale: the only global shuffle is keyed by shingle "
+    "(same shape as MinHash banding); windows partition per doc_id. "
+    "Top-25 by longest span under a total order.",
+    tags=("dedup", "text", "window", "scale"),
+)
+def dd_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "doc_id", F.split(F.col("text"), " ").alias("w")
+        )
+        .filter(F.size("w") >= 8)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 8),"
+                    " i -> concat_ws(' ', slice(w, i + 1, 8)))"
+                )
+            ).alias("pos", "shingle"),
+        )
+    )
+    dup = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("shingle")
+    )
+    hits = sh.join(dup, "shingle").withColumn(
+        "island",
+        F.col("pos")
+        - F.row_number().over(W.partitionBy("doc_id").orderBy("pos")),
+    )
+    spans = hits.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s0"),
+        (F.max("pos") + 7).alias("e0"),
+        F.count(F.lit(1)).alias("n_shingles"),
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_spans"),
+            F.max(F.col("e0") - F.col("s0") + 1).alias("longest_span_words"),
+            F.sum("n_shingles").alias("n_dup_shingles"),
+        )
+        .orderBy(F.desc("longest_span_words"), "doc_id")
+        .limit(25)
+    )

@@ -60,6 +60,7 @@ INVARIANT_QUERIES = [
     "q_welch_ttest",            # staged trunc-div t^2
     "mm_audio_energy",          # Arrow frame-energy stage
     "q_interval_union",         # per-user sweep-line islands
+    "dd_substring_spans",       # shingle-run maximal duplicate spans
     "q_theil_index",            # snapped-ln weighted entropy
     "ml_cohens_kappa",          # cross-multiplied 2x2 agreement
     "q_islands_daily",          # lag-diff islands over the calendar
