@@ -3232,10 +3232,16 @@ WITH p AS (
   SELECT doc_id, source, substr(text, 1, 40) AS pfx
   FROM documents WHERE text IS NOT NULL
 ),
+ordered AS (
+  SELECT source, doc_id, pfx,
+         row_number() OVER (PARTITION BY source ORDER BY pfx, doc_id) AS rn
+  FROM p
+),
 pairs AS (
-  SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+  SELECT a.source,
          levenshtein(a.pfx, b.pfx) AS dist
-  FROM p a JOIN p b ON a.source = b.source AND a.doc_id < b.doc_id
+  FROM ordered a JOIN ordered b
+    ON a.source = b.source AND b.rn - a.rn BETWEEN 1 AND 5
 )
 SELECT source,
        count(*) AS n_pairs,
@@ -3245,29 +3251,40 @@ FROM pairs
 GROUP BY source ORDER BY source
 """,
     doc="Edit-distance near-dup for SHORT fields (titles, names, URLs — "
-    "modeled by 40-char prefixes): classic Levenshtein inside "
-    "source-blocked pairs, per-block close-pair counts. Both engines "
-    "implement the same textbook DP, probe-verified identical. The "
-    "blocking keeps the quadratic comparison inside blocks (the "
-    "dd_embedding_neardup pattern); Levenshtein cost is bounded by the "
-    "40-char cap — the right tool for short-field record linkage, NOT "
-    "full documents (that is what MinHash is for).",
-    tags=("dedup", "levenshtein", "blocking"),
+    "modeled by 40-char prefixes): Levenshtein over SORTED-NEIGHBORHOOD "
+    "candidate pairs — within each source block, rows sort by prefix "
+    "and each row is compared only to its next 5 neighbors (the classic "
+    "windowed record-linkage scheme, er_sorted_neighborhood's pattern, "
+    "here via 5 lead() columns + posexplode: one window sort per block, "
+    "O(n*w) comparisons). Round-4 scale fix: the original all-pairs-"
+    "within-source version was a constant-block quadratic — source "
+    "cardinality is FIXED (20), so 10x docs meant 100x pairs (62M "
+    "Levenshtein DPs at sf1.0, caught by the sf1.0 decade sweep); "
+    "sorted-neighborhood is the textbook linear-work replacement and "
+    "lexicographically-close prefixes are exactly where short-field "
+    "edit-distance near-dups live. Both engines implement the same "
+    "textbook DP, probe-verified identical; the 40-char cap bounds "
+    "each DP.",
+    tags=("dedup", "levenshtein", "blocking", "scale"),
 )
 def dd_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     p = docs.select("doc_id", "source", F.substring("text", 1, 40).alias("pfx"))
-    a = p.select(
-        F.col("source"), F.col("doc_id").alias("id_a"), F.col("pfx").alias("pfx_a")
+    w = W.partitionBy("source").orderBy("pfx", "doc_id")
+    leads = p.select(
+        "source",
+        "pfx",
+        F.array(*[F.lead("pfx", k).over(w) for k in range(1, 6)]).alias("nbrs"),
     )
-    b = p.select(
-        F.col("source").alias("source_b"),
-        F.col("doc_id").alias("id_b"),
-        F.col("pfx").alias("pfx_b"),
-    )
-    pairs = a.join(
-        b, (F.col("source") == F.col("source_b")) & (F.col("id_a") < F.col("id_b"))
-    ).select("source", F.levenshtein("pfx_a", "pfx_b").alias("dist"))
+    pairs = leads.select(
+        "source",
+        F.explode(F.filter(F.col("nbrs"), lambda x: x.isNotNull())).alias(
+            "pfx_b"
+        ),
+        "pfx",
+    ).select("source", F.levenshtein("pfx", "pfx_b").alias("dist"))
     return (
         pairs.groupBy("source")
         .agg(
