@@ -68,10 +68,25 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str = "doc_id", num_hashes: int = 8, band_size: int = 2
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the signatures and self-join on bucket: docs agreeing on ALL
-    hashes of any band become a candidate pair (a < b, distinct)."""
+    hashes of any band become a candidate pair (a < b, distinct).
+
+    ``max_bucket`` drops buckets with more than that many members BEFORE
+    the self-join — the standard guard in production near-dup pipelines:
+    a bucket shared by thousands of documents carries no discriminative
+    signal but contributes k^2 junk pairs; capping it bounds pair count
+    to ~max_bucket x corpus size (linear) regardless of how degenerate
+    the hash distribution is. (The harness corpus draws from a tiny
+    ~30-word vocabulary, so minhash values concentrate and uncapped
+    buckets go quadratic at sf1.0 — caught by the round-4 scaling
+    sweep; real corpora are gentler but the cap is what makes the
+    operator safe at ANY scale.)"""
     n_bands = num_hashes // band_size
     bands = F.array(
         *[
@@ -89,6 +104,14 @@ def lsh_candidate_pairs(
         F.col("band.band_idx").alias("band_idx"),
         F.col("band.band_val").alias("band_val"),
     )
+    if max_bucket is not None:
+        small = (
+            banded.groupBy("band_idx", "band_val")
+            .agg(F.count(F.lit(1)).alias("bucket_n"))
+            .filter(F.col("bucket_n") <= max_bucket)
+            .select("band_idx", "band_val")
+        )
+        banded = banded.join(small, ["band_idx", "band_val"])
     left = banded.alias("l")
     right = banded.alias("r")
     return (
