@@ -35,9 +35,17 @@ bands AS (
   UNION ALL
   SELECT doc_id, 3, cast(h6 AS varchar) || '_' || cast(h7 AS varchar) FROM sig
 ),
+small_buckets AS MATERIALIZED (
+  SELECT band_idx, band_val FROM bands
+  GROUP BY 1, 2 HAVING count(*) <= 20
+),
+sb AS MATERIALIZED (
+  SELECT b.doc_id, b.band_idx, b.band_val
+  FROM bands b JOIN small_buckets USING (band_idx, band_val)
+),
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b
+  FROM sb a JOIN sb b
     ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
 ),
 edges AS (
@@ -79,7 +87,8 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from p6_spark.operators.graph import bfs_hops
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = dd.lsh_candidate_pairs(dd.minhash_signatures(docs))
+    # max_bucket=20: same degenerate-bucket guard as q_graph_kcore
+    pairs = dd.lsh_candidate_pairs(dd.minhash_signatures(docs), max_bucket=20)
     dist = bfs_hops(pairs, seed_mod=10, max_hops=4)
     return (
         dist.groupBy(F.coalesce(F.col("hop"), F.lit(-1)).alias("hop"))

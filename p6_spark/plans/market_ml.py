@@ -303,7 +303,7 @@ def _sql_band_pairs(band_size: int) -> str:
 @register(
     "dd_lsh_tuning",
     oracle=f"""
-WITH {_sql_minhash_sig("TRUE").lstrip().lstrip(chr(10))},
+WITH {_sql_minhash_sig("doc_id < 1000").lstrip().lstrip(chr(10))},
 est AS MATERIALIZED (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          ((CASE WHEN a.h0 = b.h0 THEN 1 ELSE 0 END) + (CASE WHEN a.h1 = b.h1 THEN 1 ELSE 0 END)
@@ -342,7 +342,10 @@ ORDER BY band_size
     "components banded as 8x1, 4x2, 2x4, and 1x8, reporting candidate-"
     "pair volume and mean estimated Jaccard per config — the recall/"
     "cost curve that picks (bands, rows) BEFORE the 100 TB run, "
-    "measured on a sample instead of guessed from the s-curve formula. "
+    "measured on a FIXED 1000-doc panel (doc_id < 1000) instead of "
+    "guessed from the s-curve formula — tuning needs a bounded sample, "
+    "not the corpus; the round-4 sf1.0 sweep caught the unbounded "
+    "version going quadratic (band_size=1 buckets are the densest). "
     "Signatures computed once and reused across all four configs "
     "(cached on the Spark side); pair estimation joins signatures back "
     "by id. NOTE the oracle's est CTE is an all-pairs signature join — "
@@ -352,7 +355,8 @@ ORDER BY band_size
 def dd_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     from p6_spark.operators import dedup as dd
 
-    docs = _t(spark, sf_dir, "documents")
+    # fixed tuning panel — see the oracle doc note
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
     sigs = dd.minhash_signatures(docs).cache()
     sa = sigs.select(
         F.col("doc_id").alias("id_a"),
