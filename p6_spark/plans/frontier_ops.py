@@ -130,10 +130,18 @@ blocked AS (
   UNION ALL
   SELECT doc_id, s, 1, s % 256 FROM sig
 ),
+small_blocks AS MATERIALIZED (
+  SELECT blk_idx, blk_val FROM blocked
+  GROUP BY 1, 2 HAVING count(*) <= 20
+),
+sb2 AS MATERIALIZED (
+  SELECT b.doc_id, b.s, b.blk_idx, b.blk_val
+  FROM blocked b JOIN small_blocks USING (blk_idx, blk_val)
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          a.s AS sa, b.s AS sb
-  FROM blocked a JOIN blocked b
+  FROM sb2 a JOIN sb2 b
     ON a.blk_idx = b.blk_idx AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id
 ),
 verified AS (
@@ -155,7 +163,13 @@ ORDER BY hamming
     "verify with bit_count(xor); the summary reports pair volume per "
     "verified distance. At 64 bits this becomes the standard k+1-block "
     "table-rotation scheme; the plan shape (union of band tables, "
-    "bucket equi-join, cheap verify) is identical.",
+    "bucket equi-join, cheap verify) is identical. Round-4 scale fix: "
+    "blocks with > 20 members are dropped before the self-join — a "
+    "16-bit signature has only 512 buckets TOTAL, so bucket size grows "
+    "linearly with the corpus and the join went quadratic at sf1.0; "
+    "oversized blocks are non-discriminative (production Manku-style "
+    "pipelines bound block sizes the same way), and the cap bounds "
+    "candidates to ~20x corpus size at any SF.",
     tags=("dedup", "simhash", "join"),
 )
 def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -175,6 +189,14 @@ def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "s", F.col("b.blk_idx").alias("blk_idx"), F.col("b.blk_val").alias("blk_val"))
+    # non-discriminative-block cap — see the oracle doc note
+    small = (
+        blocked.groupBy("blk_idx", "blk_val")
+        .agg(F.count(F.lit(1)).alias("blk_n"))
+        .filter(F.col("blk_n") <= 20)
+        .select("blk_idx", "blk_val")
+    )
+    blocked = blocked.join(small, ["blk_idx", "blk_val"])
     a = blocked.alias("a")
     b = blocked.alias("b")
     cand = (
