@@ -120,7 +120,7 @@ cum AS (
   FROM ranked
 )
 SELECT cast(pct AS bigint) AS top_pct,
-       cast(max(cum_cents) * 1000000 // max(total) AS bigint) AS revenue_share_x1e6
+       cast(max(cum_cents)::HUGEINT * 1000000 // max(total) AS bigint) AS revenue_share_x1e6
 FROM cum, (SELECT unnest([10, 20, 50]) AS pct)
 WHERE rn * 100 <= pct * n_cust
 GROUP BY pct
@@ -159,8 +159,10 @@ def q_pareto_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") * 100 <= F.col("pct") * F.col("n_cust"))
         .groupBy(F.col("pct").cast("long").alias("top_pct"))
         .agg(
+            # decimal(38,0): cum_cents ~4e13 at sf1, x1e6 overflows int64
             F.expr(
-                "cast(max(cum_cents) * 1000000 div max(total) as bigint)"
+                "cast(cast(max(cum_cents) as decimal(38,0)) * 1000000"
+                " div max(total) as bigint)"
             ).alias("revenue_share_x1e6")
         )
         .orderBy("top_pct")

@@ -38,7 +38,7 @@ SELECT '{name}' AS col,
        cast(count(*) * 1000 // (1 + sum(CASE WHEN v <> pv THEN 1 ELSE 0 END))
             AS bigint) AS avg_run_len_x1e3
 FROM (
-  SELECT v, lag(v) OVER (ORDER BY l_orderkey, l_linenumber) AS pv
+  SELECT v, lag(v) OVER (ORDER BY l_orderkey, l_linenumber, v) AS pv
   FROM (SELECT l_orderkey, l_linenumber, {expr} AS v FROM lineitem)
 )"""
 
@@ -64,7 +64,12 @@ def q_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("l_linestatus", F.col("l_linestatus")),
         ("l_shipdate", F.date_format("l_shipdate", "yyyy-MM-dd")),
     ]
-    w = W.orderBy("l_orderkey", "l_linenumber")
+    # (orderkey, linenumber) is NOT unique in lineitem, so the sort
+    # alone is not total and run counts were tie-order-dependent (caught
+    # by the sf1.0 sweep: n_runs off by 15). Appending v makes the run
+    # count well-defined: any remaining ties carry identical v, which
+    # adjacent-change counting is invariant to.
+    w = W.orderBy("l_orderkey", "l_linenumber", "v")
     for name, col in specs:
         v = li.select("l_orderkey", "l_linenumber", col.alias("v"))
         lagged = v.select("v", F.lag("v").over(w).alias("pv"))

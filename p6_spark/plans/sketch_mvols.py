@@ -302,12 +302,15 @@ res AS (
   FROM pts p, b
   GROUP BY b.n, b.sy, b.syy
 )
-SELECT cast(n AS bigint) AS n,
-       cast((n * syy - sy * sy) // n // 10000 AS bigint) AS sst_dollars2,
-       cast(sse_x1e12 // 1000000000000 // 10000 AS bigint) AS sse_dollars2,
-       cast(((n * syy - sy * sy) // n - sse_x1e12 // 1000000000000) * 100
-            // ((n * syy - sy * sy) // n) * 10000 AS bigint) AS r2_x1e6_floor
-FROM res
+SELECT n, sst_dollars2, sse_dollars2,
+       cast((sst_dollars2::HUGEINT - sse_dollars2) * 100
+            // sst_dollars2 * 10000 AS bigint) AS r2_x1e6_floor
+FROM (
+  SELECT cast(n AS bigint) AS n,
+         cast((n * syy - sy * sy) // (n * 10000) AS bigint) AS sst_dollars2,
+         cast(sse_x1e12 // 10000000000000000 AS bigint) AS sse_dollars2
+  FROM res
+)
 """,
     doc="Fit quality for the Cramer-rule regression: SST, SSE, and R^2 "
     "computed in a second residual pass that reuses ml_linreg2's "
@@ -379,21 +382,28 @@ def ml_linreg2_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sse_x1e12"),
         )
     )
-    return res.select(
+    # Spark's `div` yields BIGINT, so every quotient must fit int64. The
+    # sf1.0 sweep caught the old staging ((...) div n, sse div 1e12)
+    # wrapping: those intermediate quotients are ~5e20 at sf1. Divide by
+    # the FULL combined scale in one step instead (floor(floor(a/p)/q)
+    # == floor(a/(p*q)) for positive ints, so both engines agree), which
+    # lands every quotient at dollars^2 magnitude (~5e16).
+    staged = res.select(
         F.expr("cast(n as bigint)").alias("n"),
-        # Spark's `div` yields BIGINT, so every quotient must fit int64:
-        # SST is computed as (n*syy - sy^2) div n (one bounded quotient,
-        # identical trunc-div spelling in the oracle) and the r2 ratio
-        # runs at cents^2 scale, never cents^2 * 1e12
-        F.expr("cast((n * syy - sy * sy) div n div 10000 as bigint)").alias(
-            "sst_dollars2"
-        ),
         F.expr(
-            "cast(sse_x1e12 div 1000000000000 div 10000 as bigint)"
+            "cast((n * syy - sy * sy) div (n * 10000) as bigint)"
+        ).alias("sst_dollars2"),
+        F.expr(
+            "cast(sse_x1e12 div 10000000000000000 as bigint)"
         ).alias("sse_dollars2"),
+    )
+    return staged.select(
+        "n",
+        "sst_dollars2",
+        "sse_dollars2",
         F.expr(
-            "cast(((n * syy - sy * sy) div n - sse_x1e12 div 1000000000000)"
-            " * 100 div ((n * syy - sy * sy) div n) * 10000 as bigint)"
+            "cast((cast(sst_dollars2 as decimal(38,0)) - sse_dollars2) * 100"
+            " div sst_dollars2 * 10000 as bigint)"
         ).alias("r2_x1e6_floor"),
     )
 
