@@ -72,11 +72,17 @@ def drop_near_duplicates(
     text_col: str = "text",
     num_hashes: int = 8,
     band_size: int = 2,
+    max_bucket: int | None = 20,
 ) -> DataFrame:
     """MinHash-LSH near-dedup: drop the larger id of every candidate
-    pair (greedy; see module docstring)."""
+    pair (greedy; see module docstring). Buckets larger than
+    ``max_bucket`` are skipped (non-discriminative; see
+    operators/dedup.lsh_candidate_pairs — the round-4 scaling sweep
+    showed uncapped buckets going quadratic on a low-entropy corpus)."""
     sigs = dd.minhash_signatures(docs, id_col, text_col, num_hashes)
-    pairs = dd.lsh_candidate_pairs(sigs, id_col, num_hashes, band_size)
+    pairs = dd.lsh_candidate_pairs(
+        sigs, id_col, num_hashes, band_size, max_bucket=max_bucket
+    )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return docs.join(losers, id_col, "left_anti")
 

@@ -678,9 +678,17 @@ bands AS (
   UNION ALL
   SELECT doc_id, 3, cast(h6 AS varchar) || '_' || cast(h7 AS varchar) FROM sig
 ),
+small_buckets AS MATERIALIZED (
+  SELECT band_idx, band_val FROM bands
+  GROUP BY 1, 2 HAVING count(*) <= 20
+),
+sb AS MATERIALIZED (
+  SELECT b.doc_id, b.band_idx, b.band_val
+  FROM bands b JOIN small_buckets USING (band_idx, band_val)
+),
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b
+  FROM sb a JOIN sb b
     ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
 ),
 edges AS (
@@ -702,7 +710,11 @@ FROM comp GROUP BY component ORDER BY component
     "propagation (operators/graph.py), one shuffle per round, "
     "localCheckpoint lineage truncation. Verified against a union-find "
     "oracle in tests/test_graph.py AND a DuckDB recursive transitive-"
-    "closure min-label twin (candidate graphs are tiny at oracle SF).",
+    "closure min-label twin. Round-4: the candidate graph carries the "
+    "max_bucket=20 non-discriminative-bucket cap (q_graph_kcore's "
+    "guard) — uncapped, this corpus's dense buckets made both the pair "
+    "join and the closure oracle quadratic, which is why the query was "
+    "sf1.0-excluded before; capped, it certifies at sf1.0 directly.",
     tags=("dedup", "graph", "iterative"),
 )
 def dd_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -710,7 +722,7 @@ def dd_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     sigs = dd.minhash_signatures(docs)
-    pairs = dd.lsh_candidate_pairs(sigs)
+    pairs = dd.lsh_candidate_pairs(sigs, max_bucket=20)
     cc = connected_components(pairs)
     return (
         cc.groupBy("component")
@@ -774,9 +786,17 @@ p_bands AS (
   UNION ALL
   SELECT doc_id, 3, cast(h6 AS varchar) || '_' || cast(h7 AS varchar) FROM p_sig
 ),
+p_small AS MATERIALIZED (
+  SELECT band_idx, band_val FROM p_bands
+  GROUP BY 1, 2 HAVING count(*) <= 20
+),
+p_sb AS MATERIALIZED (
+  SELECT b.doc_id, b.band_idx, b.band_val
+  FROM p_bands b JOIN p_small USING (band_idx, band_val)
+),
 losers AS (
   SELECT DISTINCT b.doc_id
-  FROM p_bands a JOIN p_bands b
+  FROM p_sb a JOIN p_sb b
     ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
 ),
 clean AS (
@@ -2115,9 +2135,17 @@ bands AS (
   UNION ALL
   SELECT doc_id, 3, cast(h6 AS varchar) || '_' || cast(h7 AS varchar) FROM sig
 ),
+small_buckets AS MATERIALIZED (
+  SELECT band_idx, band_val FROM bands
+  GROUP BY 1, 2 HAVING count(*) <= 20
+),
+sb AS MATERIALIZED (
+  SELECT b.doc_id, b.band_idx, b.band_val
+  FROM bands b JOIN small_buckets USING (band_idx, band_val)
+),
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b
+  FROM sb a JOIN sb b
     ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
 ),
 edges AS (
@@ -2149,7 +2177,8 @@ ORDER BY component
     "arbitrary one. Composes dd_cc_clusters' min-label components with a "
     "quality join + per-component ranking window: one extra broadcast-"
     "size join and one shuffle on component beyond the CC rounds. "
-    "Oracle replays components recursively then applies the same window.",
+    "Oracle replays components recursively then applies the same window. "
+    "Candidate graph carries the max_bucket=20 cap (see dd_cc_clusters).",
     tags=("dedup", "graph", "quality", "composition"),
 )
 def dd_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2159,7 +2188,7 @@ def dd_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     sigs = dd.minhash_signatures(docs)
-    pairs = dd.lsh_candidate_pairs(sigs)
+    pairs = dd.lsh_candidate_pairs(sigs, max_bucket=20)
     cc = connected_components(pairs)
     ranked = (
         cc.join(docs.select(F.col("doc_id"), "n_chars"), cc.node == F.col("doc_id"))
@@ -3126,9 +3155,17 @@ bands AS (
   UNION ALL
   SELECT doc_id, 3, cast(h6 AS varchar) || '_' || cast(h7 AS varchar) FROM sig
 ),
+small_buckets AS MATERIALIZED (
+  SELECT band_idx, band_val FROM bands
+  GROUP BY 1, 2 HAVING count(*) <= 20
+),
+sb AS MATERIALIZED (
+  SELECT b.doc_id, b.band_idx, b.band_val
+  FROM bands b JOIN small_buckets USING (band_idx, band_val)
+),
 pairs AS (
   SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
-  FROM bands a JOIN bands b
+  FROM sb a JOIN sb b
     ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
 ),
 deg AS (
@@ -3154,14 +3191,21 @@ SELECT (SELECT count(*) FROM pairs) AS n_edges,
     "e1(u,v) x e2(v,w) closed by e3(u,w) — each triangle counted once. "
     "Two shuffles on node ids; degree skew is the known hazard and the "
     "oriented orientation (low id -> high id) is the classic mitigation "
-    "(wedge work lands on low-degree endpoints).",
+    "(wedge work lands on low-degree endpoints). Candidate graph "
+    "carries the max_bucket=20 cap (see dd_cc_clusters) — with it the "
+    "triangle-join oracle certifies at sf1.0 instead of being "
+    "quadratic-excluded.",
     tags=("graph", "triangles", "dedup"),
 )
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sigs = dd.minhash_signatures(docs)
-    pairs = dd.lsh_candidate_pairs(sigs).select(
-        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    # localCheckpoint: pairs is referenced 4x (e1/e2/e3/stats) — truncate
+    # the LSH lineage once instead of re-executing it per reference
+    pairs = (
+        dd.lsh_candidate_pairs(sigs, max_bucket=20)
+        .select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .localCheckpoint()
     )
     deg = (
         pairs.select(F.col("u").alias("node"))

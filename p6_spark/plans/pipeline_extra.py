@@ -284,9 +284,17 @@ p_bands AS (
   UNION ALL
   SELECT doc_id, 3, cast(h6 AS varchar) || '_' || cast(h7 AS varchar) FROM p_sig
 ),
+p_small AS MATERIALIZED (
+  SELECT band_idx, band_val FROM p_bands
+  GROUP BY 1, 2 HAVING count(*) <= 20
+),
+p_sb AS MATERIALIZED (
+  SELECT b.doc_id, b.band_idx, b.band_val
+  FROM p_bands b JOIN p_small USING (band_idx, band_val)
+),
 losers AS (
   SELECT DISTINCT b.doc_id
-  FROM p_bands a JOIN p_bands b
+  FROM p_sb a JOIN p_sb b
     ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
 ),
 clean AS (SELECT e.* FROM exact e WHERE e.doc_id NOT IN (SELECT doc_id FROM losers))

@@ -378,9 +378,16 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from p6_spark.operators import dedup as dd
 
     docs = _t(spark, sf_dir, "documents")
-    edges = dd.lsh_candidate_pairs(
-        dd.minhash_signatures(docs), max_bucket=20
-    ).select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    # localCheckpoint (the pagerank pattern): every unrolled round
+    # references the previous edge set 3x (degree agg + 2 semi joins)
+    # and the stats union re-references all of them, so without lineage
+    # truncation the LSH self-join chain re-executes combinatorially
+    # (~44s at sf0.1 in the round-4 iterative bench; seconds after).
+    edges = (
+        dd.lsh_candidate_pairs(dd.minhash_signatures(docs), max_bucket=20)
+        .select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .localCheckpoint()
+    )
     stats = []
     cur = edges
     for r in (1, 2, 3):
@@ -395,6 +402,7 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             cur.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
             .select("u", "v")
+            .localCheckpoint()
         )
         stats.append(
             keep.agg(F.count(F.lit(1)).alias("n_nodes"))

@@ -31,7 +31,8 @@ def test_near_dedup_never_keeps_both_sides(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     kept = drop_near_duplicates(docs)
     sigs = dd.minhash_signatures(docs)
-    pairs = dd.lsh_candidate_pairs(sigs).collect()
+    # same capped candidate set the pipeline default uses (max_bucket=20)
+    pairs = dd.lsh_candidate_pairs(sigs, max_bucket=20).collect()
     kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
     for p in pairs:
         assert not (p["id_a"] in kept_ids and p["id_b"] in kept_ids)
