@@ -24,16 +24,17 @@ from p6_spark.operators.text import md5_int
 
 
 def _centroid_array(centroids: list[list[float]]) -> Column:
-    """Literal array<struct<cid,cvec>> of the current model."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(cid).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in vec]).alias("cvec"),
-            )
-            for cid, vec in enumerate(centroids)
-        ]
+    """Literal array<struct<cid,cvec>> of the current model — rendered
+    as ONE SQL expression: per-element F.lit() construction costs a py4j
+    round-trip each (k x dim = hundreds per Lloyd step), which the
+    round-4 profiling showed dominating plan build time."""
+    entries = ",".join(
+        f"named_struct('cid', {cid}, 'cvec', array("
+        + ",".join(f"{float(x)!r}D" for x in vec)
+        + "))"
+        for cid, vec in enumerate(centroids)
     )
+    return F.expr(f"array({entries})")
 
 
 def _sq_dist(a: Column, b: Column) -> Column:
@@ -134,15 +135,14 @@ def _trunc_div(s: int, n: int) -> int:
 
 
 def _centroid_array_long(centroids: list[list[int]]) -> Column:
-    return F.array(
-        *[
-            F.struct(
-                F.lit(cid).alias("cid"),
-                F.array(*[F.lit(int(x)).cast("long") for x in vec]).alias("cvec"),
-            )
-            for cid, vec in enumerate(centroids)
-        ]
+    # single-expr rendering; see _centroid_array
+    entries = ",".join(
+        f"named_struct('cid', {cid}, 'cvec', array("
+        + ",".join(f"{int(x)}L" for x in vec)
+        + "))"
+        for cid, vec in enumerate(centroids)
     )
+    return F.expr(f"array({entries})")
 
 
 def _assign_fixed(df: DataFrame, qv_col: str, centroids: list[list[int]]) -> DataFrame:

@@ -73,22 +73,63 @@ def hyperplane_sign(plane: int, dim_index: Column, table: int = 0) -> Column:
     return F.when(h % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
 
 
-def lsh_signature(vec_col: Column, num_planes: int = 8, table: int = 0) -> Column:
-    """Bit-packed random-hyperplane signature of an embedding."""
-    comp = F.transform(vec_col, lambda x: x.cast("double"))
+def _plane_signs(plane: int, table: int, dims: int = 256) -> list[float]:
+    """Driver-side precompute of the hyperplane sign vector. The planes
+    are DATA-INDEPENDENT (md5 parity of "t{table}_plane{plane}_{dim}"),
+    so evaluating md5 per row was pure waste — 4 tables x 8 planes x 64
+    dims = 2048 md5+concat calls per ROW (~4M per pass at the 2000-row
+    embeddings table; round-4 registry bench flagged sim_lsh_ann at
+    6.5s). Computing the same parities once in Python and embedding
+    them as an array literal is bit-identical: int(md5 hex[:8], 16)
+    parity == the md5_int % 2 the oracle replays."""
+    import hashlib
 
-    def proj_fn(plane: int):
-        return lambda x, i: x * hyperplane_sign(plane, i, table)
-
-    sig = F.lit(0).cast("long")
-    for p in range(num_planes):
-        proj = F.aggregate(
-            F.zip_with(comp, F.sequence(F.lit(0), F.size(comp) - 1), proj_fn(p)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+    return [
+        1.0
+        if int(
+            hashlib.md5(f"t{table}_plane{plane}_{d}".encode()).hexdigest()[:8],
+            16,
         )
-        sig = sig + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
-    return sig
+        % 2
+        == 0
+        else -1.0
+        for d in range(dims)
+    ]
+
+
+def _signature_sql(vec_sql: str, num_planes: int, table: int) -> str:
+    """The whole bit-packed signature as ONE SQL string. Plan
+    construction cost was the round-4 finding: the original per-dim
+    F.lit()/per-plane Column-object build spent ~6s in py4j round-trips
+    BEFORE any data moved (8192 lit calls + 64 lambda registrations).
+    A single parsed expression per table costs one py4j call; the
+    physical plan is identical."""
+    parts = []
+    for p in range(num_planes):
+        signs = ",".join(f"{s:.1f}D" for s in _plane_signs(p, table))
+        parts.append(
+            f"(case when aggregate(zip_with("
+            f"transform({vec_sql}, x -> cast(x as double)), "
+            f"slice(array({signs}), 1, size({vec_sql})), "
+            f"(x, s) -> x * s), 0.0D, (acc, v) -> acc + v) > 0 "
+            f"then {1 << p}L else 0L end)"
+        )
+    return "(" + " + ".join(parts) + ")"
+
+
+def lsh_signature(
+    vec_col: Column | str, num_planes: int = 8, table: int = 0
+) -> Column:
+    """Bit-packed random-hyperplane signature of an embedding (plane
+    sign vectors precomputed driver-side, whole signature parsed as one
+    SQL expression; see _plane_signs/_signature_sql). Accepts a column
+    NAME (fast path) or a Column (wrapped via its SQL rendering only if
+    it is a simple attribute)."""
+    if not isinstance(vec_col, str):
+        # Column objects don't expose stable SQL; require the common case
+        name = vec_col._jc.toString()
+        vec_col = name
+    return F.expr(_signature_sql(vec_col, num_planes, table))
 
 
 def blocked_neardup_pairs(
@@ -163,7 +204,7 @@ def lsh_ann_topk(
     index cost — the standard recall/cost dial. Recall is tested against
     brute force in tests/test_similarity.py."""
     sigs = F.array(
-        *[lsh_signature(F.col(vec_col), num_planes, t) for t in range(num_tables)]
+        *[lsh_signature(vec_col, num_planes, t) for t in range(num_tables)]
     )
     c = corpus.select(
         F.col(id_col).alias("match_id"),
