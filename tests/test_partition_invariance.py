@@ -64,6 +64,16 @@ INVARIANT_QUERIES = [
     "q_theil_index",            # snapped-ln weighted entropy
     "ml_cohens_kappa",          # cross-multiplied 2x2 agreement
     "q_islands_daily",          # lag-diff islands over the calendar
+    # round-4 scale-fix family (bucket caps / panels / re-staged div)
+    "dd_levenshtein_pairs",     # sorted-neighborhood windowed Levenshtein
+    "dd_simhash_pairs",         # capped byte-block Hamming pairs
+    "q_graph_kcore",            # capped candidate graph, 3 peel rounds
+    "q_graph_triangles",        # capped oriented triangle join
+    "dd_lsh_tuning",            # fixed-panel band-config sweep
+    "ml_linreg2_anova",         # re-staged dollars^2 quotients
+    "q_encoding_advisor",       # total-ordered run counting
+    "q_max_drawdown",           # demeaned equity-curve drawdown
+    "sim_lsh_ann",              # precomputed-hyperplane signatures
 ]
 
 
