@@ -74,6 +74,10 @@ INVARIANT_QUERIES = [
     "q_encoding_advisor",       # total-ordered run counting
     "q_max_drawdown",           # demeaned equity-curve drawdown
     "sim_lsh_ann",              # precomputed-hyperplane signatures
+    # round-4 closing batch
+    "txt_bigram_lm",            # snapped-ln bigram LM sums
+    "q_kmv_setops",             # KMV union/intersection estimators
+    "dd_span_provenance",       # first-seen shingle provenance
 ]
 
 
