@@ -185,6 +185,28 @@ PICKS = {
         "sessionize shuffle shape; no global sort, top-25 is "
         "TakeOrderedAndProject."
     ),
+    "dd_substring_spans": (
+        "Suffix-style substring dedup (round 4): per-position 8-word "
+        "shingles from ONE scan, the >=2-occurrence filter is a "
+        "shingle-keyed aggregate (the only corpus-wide shuffle), and "
+        "maximal spans come from a per-doc gaps-and-islands window — "
+        "no pair join anywhere, so the plan is linear in corpus size."
+    ),
+    "q_graph_kcore": (
+        "Capped candidate graph (round 4): bucket sizes are counted and "
+        "buckets >20 dropped BEFORE the self-join (the scan feeding the "
+        "join carries the bucket filter), so pair count is bounded by "
+        "20x corpus size; the edge list is localCheckpoint'ed once and "
+        "each peel round is a degree aggregate + two semi joins over "
+        "node ids — 3 bounded rounds, no lineage re-execution."
+    ),
+    "dd_levenshtein_pairs": (
+        "Sorted-neighborhood record linkage (round 4): one window sort "
+        "per source block produces 5 lead() neighbors per row, "
+        "posexplode yields O(n*w) candidate pairs — the all-pairs "
+        "quadratic the sf1.0 sweep caught is structurally impossible "
+        "in this plan."
+    ),
 }
 
 
