@@ -414,3 +414,29 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_substring_spans_no_pair_join(spark, sf_dir):
+    # suffix-style dedup must stay linear: the only corpus-wide shuffle
+    # is shingle-keyed; no nested-loop/cartesian pair expansion, top-25
+    # via TakeOrderedAndProject
+    plan = plan_of(QUERIES["dd_substring_spans"].build(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_span_provenance_no_pair_join(spark, sf_dir):
+    plan = plan_of(QUERIES["dd_span_provenance"].build(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bigram_lm_topk_and_no_cartesian(spark, sf_dir):
+    # the only nested-loop allowed is the broadcast 1-row vocab attach;
+    # the logprob table joins back by (w1, w2) equi-keys and the top-25
+    # is TakeOrderedAndProject, not a global sort
+    plan = plan_of(QUERIES["txt_bigram_lm"].build(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
