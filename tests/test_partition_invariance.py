@@ -78,6 +78,7 @@ INVARIANT_QUERIES = [
     "txt_bigram_lm",            # snapped-ln bigram LM sums
     "q_kmv_setops",             # KMV union/intersection estimators
     "dd_span_provenance",       # first-seen shingle provenance
+    "q_window_funnel",          # staged conditional-min funnel depths
 ]
 
 
