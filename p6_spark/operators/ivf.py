@@ -28,6 +28,16 @@ def _centroid_array(centroids: list[list[float]]) -> Column:
     as ONE SQL expression: per-element F.lit() construction costs a py4j
     round-trip each (k x dim = hundreds per Lloyd step), which the
     round-4 profiling showed dominating plan build time."""
+    import math
+
+    for cid, vec in enumerate(centroids):
+        for x in vec:
+            if not math.isfinite(float(x)):
+                # repr(nan)+'D' would render unparseable SQL ('nanD');
+                # an empty/degenerate cluster mean must fail loudly here.
+                raise ValueError(
+                    f"non-finite centroid component {x!r} in centroid {cid}"
+                )
     entries = ",".join(
         f"named_struct('cid', {cid}, 'cvec', array("
         + ",".join(f"{float(x)!r}D" for x in vec)

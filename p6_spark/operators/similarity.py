@@ -97,16 +97,24 @@ def _plane_signs(plane: int, table: int, dims: int = 256) -> list[float]:
     ]
 
 
-def _signature_sql(vec_sql: str, num_planes: int, table: int) -> str:
+def _signature_sql(
+    vec_sql: str, num_planes: int, table: int, dims: int = 256
+) -> str:
     """The whole bit-packed signature as ONE SQL string. Plan
     construction cost was the round-4 finding: the original per-dim
     F.lit()/per-plane Column-object build spent ~6s in py4j round-trips
     BEFORE any data moved (8192 lit calls + 64 lambda registrations).
     A single parsed expression per table costs one py4j call; the
-    physical plan is identical."""
+    physical plan is identical.
+
+    The sign vectors are precomputed to `dims` components; a vector
+    LONGER than that would be silently truncated by the slice (and the
+    zip_with null-pad would collapse every signature to 0 — one giant
+    bucket, quadratic join). Guarded with raise_error so an oversize
+    embedding fails loudly at execution instead."""
     parts = []
     for p in range(num_planes):
-        signs = ",".join(f"{s:.1f}D" for s in _plane_signs(p, table))
+        signs = ",".join(f"{s:.1f}D" for s in _plane_signs(p, table, dims))
         parts.append(
             f"(case when aggregate(zip_with("
             f"transform({vec_sql}, x -> cast(x as double)), "
@@ -114,22 +122,30 @@ def _signature_sql(vec_sql: str, num_planes: int, table: int) -> str:
             f"(x, s) -> x * s), 0.0D, (acc, v) -> acc + v) > 0 "
             f"then {1 << p}L else 0L end)"
         )
-    return "(" + " + ".join(parts) + ")"
+    guard = (
+        f"case when size({vec_sql}) > {dims} then "
+        f"cast(raise_error(concat('lsh_signature: embedding dim ', "
+        f"cast(size({vec_sql}) as string), "
+        f"' exceeds the {dims} precomputed hyperplane components')) as bigint) "
+    )
+    return guard + "else (" + " + ".join(parts) + ") end"
 
 
 def lsh_signature(
-    vec_col: Column | str, num_planes: int = 8, table: int = 0
+    vec_col: str, num_planes: int = 8, table: int = 0, dims: int = 256
 ) -> Column:
     """Bit-packed random-hyperplane signature of an embedding (plane
     sign vectors precomputed driver-side, whole signature parsed as one
     SQL expression; see _plane_signs/_signature_sql). Accepts a column
-    NAME (fast path) or a Column (wrapped via its SQL rendering only if
-    it is a simple attribute)."""
+    NAME only: a Column object has no stable SQL rendering (and the
+    private `_jc` escape hatch does not exist under Spark Connect), so
+    anything else raises instead of interpolating wrong SQL."""
     if not isinstance(vec_col, str):
-        # Column objects don't expose stable SQL; require the common case
-        name = vec_col._jc.toString()
-        vec_col = name
-    return F.expr(_signature_sql(vec_col, num_planes, table))
+        raise TypeError(
+            "lsh_signature requires a column NAME (str); Column objects "
+            "have no engine-portable SQL rendering"
+        )
+    return F.expr(_signature_sql(vec_col, num_planes, table, dims))
 
 
 def blocked_neardup_pairs(

@@ -78,7 +78,14 @@ def drop_near_duplicates(
     pair (greedy; see module docstring). Buckets larger than
     ``max_bucket`` are skipped (non-discriminative; see
     operators/dedup.lsh_candidate_pairs — the round-4 scaling sweep
-    showed uncapped buckets going quadratic on a low-entropy corpus)."""
+    showed uncapped buckets going quadratic on a low-entropy corpus).
+
+    .. versionchanged:: round 4
+       The default changed from ``max_bucket=None`` (uncapped) to
+       ``max_bucket=20``: pairs inside larger-than-cap buckets no longer
+       drop documents. Pass ``max_bucket=None`` explicitly to restore
+       the old exhaustive behavior on small/trusted corpora. All in-repo
+       call sites and their DuckDB oracles were updated in lockstep."""
     sigs = dd.minhash_signatures(docs, id_col, text_col, num_hashes)
     pairs = dd.lsh_candidate_pairs(
         sigs, id_col, num_hashes, band_size, max_bucket=max_bucket
