@@ -33,6 +33,16 @@ def headline_names() -> list[str]:
         return json.load(f)["headline"]
 
 
+def iterative_names() -> list[str]:
+    """Second manifest section (appended round 5): the pagerank-class
+    iterative queries. Timed in the same run and reported inside
+    "queries" + an "iterative_total" field; the headline "value" stays
+    the sum of the frozen headline set only, so BENCH_r*.json totals
+    remain superset-comparable with rounds ≤4."""
+    with open(_MANIFEST) as f:
+        return json.load(f).get("iterative", [])
+
+
 def family_of(name: str) -> str:
     """Bench family = registry prefix (dd_/txt_/sim_/mm_/pipe_/er_/ml_/
     p6_/q*). Keeps the --all report readable at 262 queries."""
@@ -58,13 +68,17 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("p6_spark_bench")
     qs = get_queries()
-    names = list(qs) if args.all else [n for n in headline_names() if n in qs]
+    head = [n for n in headline_names() if n in qs]
+    iters = [n for n in iterative_names() if n in qs and n not in head]
+    names = list(qs) if args.all else head + iters
     # Optional comma-separated subset for local iteration / regression
     # bisection (e.g. SPARK_GRAFT_BENCH_QUERIES=q01_pricing_summary,q06_...)
     only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     if only:
         keep = {s.strip() for s in only.split(",") if s.strip()}
         names = [n for n in names if n in keep]
+        head = [n for n in head if n in keep]
+        iters = [n for n in iters if n in keep]
 
     # Warmup: run every query once (untimed) so JVM startup +
     # WholeStageCodegen (Janino) compilation isn't billed to the timed
@@ -95,7 +109,12 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 
-    total = round(sum(timings.values()), 4)
+    total = round(
+        sum(timings.values())
+        if args.all
+        else sum(timings[n] for n in head),
+        4,
+    )
     out = {
         "metric": "all_queries_total" if args.all else "headline_queries_total",
         "value": total,
@@ -103,6 +122,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if not args.all and iters:
+        out["iterative_total"] = round(sum(timings[n] for n in iters), 4)
     if args.all:
         fams: dict[str, float] = {}
         for n, t in timings.items():

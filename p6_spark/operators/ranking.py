@@ -1,0 +1,144 @@
+"""Distributed total-order ranking — the scale-safe replacement for
+global (unpartitioned) ``row_number()`` / running-sum / ``ntile``
+windows.
+
+A window with no PARTITION BY funnels the entire input through ONE
+partition (Spark itself warns ``WindowExec: No Partition Defined``);
+correct and fast at sf0.1, it is the textbook scale-killer at 100 TB.
+The classical two-phase rewrite used here is arithmetic-identical:
+
+1. Bucket every row by a DETERMINISTIC, order-monotone image of the
+   leading sort key: ``bucket = floor((v - min) * B / span)`` with
+   min/max from a broadcast 1-row aggregate. Monotone ⇒ bucket order
+   equals sort order; deterministic ⇒ every re-execution of the
+   subtree lands each row in the same bucket.
+   (``repartitionByRange`` was rejected: its boundaries come from
+   reservoir SAMPLING, and the prefix-offset subtree and the main
+   stage execute that exchange independently — shuffle iteration
+   order can drift between the two executions, move a boundary, and
+   misalign offsets. Caught as an rn drift of ~tens at sf0.1 during
+   certification of the chained-rank rewrite.)
+2. Rank / running-sum WITHIN each bucket (``Window.partitionBy`` on
+   the bucket — every window stays partition-local).
+3. Per-bucket row counts and sums form a tiny (≤ ``buckets`` rows)
+   summary; prefix offsets over it are computed with a triangular
+   self-join (NOT a window — even a bounded one would reintroduce
+   the banned single-partition WindowExec shape) and broadcast back;
+   ``global = local + offset``.
+
+Same integers as the global window, one ordinary hash shuffle, no
+single-partition stage, no sampling. ``ntile_from_rank`` then
+reproduces SQL ``ntile(k)`` bucket-size semantics (first ``n mod k``
+tiles get one extra row) from the global rank — bit-identical to
+DuckDB/Spark ``ntile`` over the same total order, so existing ntile
+oracles certify unchanged.
+
+Skew note: value-uniform buckets skew if the leading key is heavily
+concentrated; ranking still distributes across the distinct leading
+values (ties share a bucket but the in-bucket window is ordered by
+the full total order). For a pathological constant key this
+degenerates to one bucket — callers rank on keys with real spread
+(values, dates, counts).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def two_phase_rank(
+    df: DataFrame,
+    order: Sequence[Column],
+    range_expr: Column,
+    descending: bool = False,
+    cum_cols: Sequence[str] = (),
+    buckets: int = 64,
+    rn_name: str = "rn",
+) -> DataFrame:
+    """Add a global 1-based ``row_number`` (``rn_name``) over the total
+    order ``order`` — and, for each name in ``cum_cols``, a running sum
+    ``cum_<name>`` inclusive of the current row — without any
+    unpartitioned window.
+
+    ``order`` must be a TOTAL order (unique composite key) and
+    ``range_expr`` a NUMERIC expression monotone in its leading sort
+    key (e.g. the key itself, or ``F.unix_date(col)`` for dates), with
+    ``descending`` matching the leading key's direction. All original
+    columns are preserved.
+    """
+    order = list(order)
+    stats = df.agg(
+        F.min(range_expr).alias("_tpr_lo"), F.max(range_expr).alias("_tpr_hi")
+    )
+    v = range_expr.cast("double")
+    lo = F.col("_tpr_lo").cast("double")
+    hi = F.col("_tpr_hi").cast("double")
+    span = hi - lo + F.lit(1.0)
+    raw = F.least(
+        F.lit(buckets - 1),
+        F.floor((v - lo) * F.lit(float(buckets)) / span).cast("int"),
+    )
+    bkt = (F.lit(buckets - 1) - raw) if descending else raw
+    part = (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn("_tpr_bkt", bkt)
+        .drop("_tpr_lo", "_tpr_hi")
+    )
+    wloc = W.partitionBy("_tpr_bkt").orderBy(*order)
+    wrun = wloc.rowsBetween(W.unboundedPreceding, W.currentRow)
+    local = part.withColumn("_tpr_rn", F.row_number().over(wloc))
+    for c in cum_cols:
+        local = local.withColumn(f"_tpr_cum_{c}", F.sum(c).over(wrun))
+
+    btot = local.groupBy("_tpr_bkt").agg(
+        F.count(F.lit(1)).alias("_tpr_cnt"),
+        *[F.sum(c).alias(f"_tpr_tot_{c}") for c in cum_cols],
+    )
+    a = btot.alias("a")
+    b = btot.alias("b")
+    offs = (
+        a.join(F.broadcast(b), F.col("b._tpr_bkt") < F.col("a._tpr_bkt"), "left")
+        .groupBy(F.col("a._tpr_bkt").alias("_tpr_bkt"))
+        .agg(
+            F.coalesce(F.sum("b._tpr_cnt"), F.lit(0)).alias("_tpr_rn_off"),
+            *[
+                F.coalesce(F.sum(f"b._tpr_tot_{c}"), F.lit(0)).alias(
+                    f"_tpr_off_{c}"
+                )
+                for c in cum_cols
+            ],
+        )
+    )
+    out = local.join(F.broadcast(offs), "_tpr_bkt").withColumn(
+        rn_name, (F.col("_tpr_rn") + F.col("_tpr_rn_off")).cast("long")
+    )
+    for c in cum_cols:
+        out = out.withColumn(
+            f"cum_{c}", F.col(f"_tpr_cum_{c}") + F.col(f"_tpr_off_{c}")
+        )
+    drop = ["_tpr_bkt", "_tpr_rn", "_tpr_rn_off"]
+    drop += [f"_tpr_cum_{c}" for c in cum_cols]
+    drop += [f"_tpr_off_{c}" for c in cum_cols]
+    return out.drop(*drop)
+
+
+def ntile_from_rank(rn: Column, n: Column, k: int) -> Column:
+    """SQL ``ntile(k)`` from a 1-based global rank ``rn`` and total row
+    count ``n``: the first ``n mod k`` tiles hold ``n div k + 1`` rows,
+    the rest ``n div k`` — the exact bucket-boundary rule both Spark and
+    DuckDB implement, so scoring from a distributed rank matches an
+    ``ntile`` oracle bit-for-bit. (When ``n < k`` every row is its own
+    tile; the first branch always applies, so the q=0 division below is
+    never evaluated. Doubles are exact here: all quantities < 2^53.)"""
+    q = (n / F.lit(k)).cast("long")  # n div k, both non-negative
+    rem = n % F.lit(k)
+    big = rem * (q + 1)
+    return (
+        F.when(rn <= big, ((rn - 1) / (q + 1)).cast("long") + 1)
+        .otherwise(rem + ((rn - big - 1) / q).cast("long") + 1)
+        .cast("int")
+    )

@@ -130,28 +130,33 @@ ORDER BY top_pct
     "10/20/50% of customers (by value, with custkey tiebreak) — the "
     "explicit 80/20 readout next to q_gini_concentration's single "
     "coefficient; 'top 20% hold X%' is the number executives quote. "
-    "One customer rollup, one value-ordered cumsum, three marks read "
-    "off it — the two-phase prefix-sum shape at scale.",
+    "One customer rollup, then the ACTUAL two-phase prefix sum "
+    "(operators/ranking.two_phase_rank: deterministic value-range "
+    "buckets, bucket-local rank+cumsum, broadcast prefix offsets) — the "
+    "r4-flagged global single-partition window is gone; n_cust/total "
+    "come from a 1-row aggregate broadcast, same integers as the "
+    "oracle's global windows.",
     tags=("bi", "concentration", "window", "fixed-point"),
 )
 def q_pareto_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6_spark.operators.ranking import two_phase_rank
+
     orders = _t(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents")
     )
-    ranked = per_cust.select(
-        "cents",
-        F.row_number().over(W.orderBy(F.desc("cents"), "o_custkey")).alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("n_cust"),
-        F.sum("cents").over(W.partitionBy()).alias("total"),
+    ranked = two_phase_rank(
+        per_cust,
+        [F.desc("cents"), F.asc("o_custkey")],
+        F.col("cents"),
+        descending=True,
+        cum_cols=["cents"],
     )
-    cum = ranked.select(
-        "rn",
-        "n_cust",
-        "total",
-        F.sum("cents")
-        .over(W.orderBy("rn").rowsBetween(W.unboundedPreceding, W.currentRow))
-        .alias("cum_cents"),
+    totals = per_cust.agg(
+        F.count(F.lit(1)).alias("n_cust"), F.sum("cents").alias("total")
+    )
+    cum = ranked.crossJoin(F.broadcast(totals)).select(
+        "rn", "n_cust", "total", F.col("cum_cents")
     )
     pcts = cum.sparkSession.createDataFrame([(10,), (20,), (50,)], "pct int")
     return (

@@ -29,17 +29,30 @@ _ENC_COLS = [
 ]
 
 
+# Run statistics are counted per WRITE BUCKET (2048 orderkeys ≈ one
+# file's worth of rows): runs reset at bucket boundaries, exactly as
+# RLE resets at file/row-group boundaries. This is what makes the plan
+# scale-safe — the lag window partitions by bucket instead of funneling
+# the whole table through one partition (the r4-flagged shape).
+_ENC_BUCKET = 2048
+
+
 def _enc_sql_one(name: str, expr: str) -> str:
     return f"""
 SELECT '{name}' AS col,
        cast(count(*) AS bigint) AS n_rows,
        cast(count(DISTINCT v) AS bigint) AS n_distinct,
-       cast(1 + sum(CASE WHEN v <> pv THEN 1 ELSE 0 END) AS bigint) AS n_runs,
-       cast(count(*) * 1000 // (1 + sum(CASE WHEN v <> pv THEN 1 ELSE 0 END))
+       cast(count(DISTINCT bkt) + sum(CASE WHEN v <> pv THEN 1 ELSE 0 END)
+            AS bigint) AS n_runs,
+       cast(count(*) * 1000 //
+            (count(DISTINCT bkt) + sum(CASE WHEN v <> pv THEN 1 ELSE 0 END))
             AS bigint) AS avg_run_len_x1e3
 FROM (
-  SELECT v, lag(v) OVER (ORDER BY l_orderkey, l_linenumber, v) AS pv
-  FROM (SELECT l_orderkey, l_linenumber, {expr} AS v FROM lineitem)
+  SELECT bkt, v,
+         lag(v) OVER (PARTITION BY bkt ORDER BY l_orderkey, l_linenumber, v) AS pv
+  FROM (SELECT l_orderkey, l_linenumber,
+               l_orderkey // {_ENC_BUCKET} AS bkt, {expr} AS v
+        FROM lineitem)
 )"""
 
 
@@ -49,11 +62,15 @@ FROM (
     + "\nORDER BY col",
     doc="Column-encoding advisor: per column, cardinality (dictionary "
     "viability) and run statistics in the table's write order "
-    "(orderkey, linenumber) — avg run length is what decides RLE vs "
-    "dict vs plain, and whether a sort-before-write (q_zorder_layout's "
-    "cousin) would pay for itself. One lag window per column over an "
-    "explicit total order; at 100 TB this runs per file/partition and "
-    "the advisor rows are the only thing that moves.",
+    "(orderkey, linenumber) WITHIN each 2048-orderkey write bucket — "
+    "avg run length is what decides RLE vs dict vs plain, and runs "
+    "reset at bucket boundaries exactly as RLE resets per "
+    "file/row-group, so per-bucket counting is the semantically "
+    "honest number AND the scale-safe plan: the lag window partitions "
+    "by bucket (each partition a file's worth of rows), replacing the "
+    "r4-flagged global-order single-partition window. n_runs = "
+    "n_buckets + within-bucket value changes, identically in both "
+    "engines.",
     tags=("layout", "stats", "window"),
 )
 def q_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -69,15 +86,20 @@ def q_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     # by the sf1.0 sweep: n_runs off by 15). Appending v makes the run
     # count well-defined: any remaining ties carry identical v, which
     # adjacent-change counting is invariant to.
-    w = W.orderBy("l_orderkey", "l_linenumber", "v")
+    w = W.partitionBy("bkt").orderBy("l_orderkey", "l_linenumber", "v")
     for name, col in specs:
-        v = li.select("l_orderkey", "l_linenumber", col.alias("v"))
-        lagged = v.select("v", F.lag("v").over(w).alias("pv"))
+        v = li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.expr(f"l_orderkey div {_ENC_BUCKET}").alias("bkt"),
+            col.alias("v"),
+        )
+        lagged = v.select("bkt", "v", F.lag("v").over(w).alias("pv"))
         row = lagged.agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.countDistinct("v").alias("n_distinct"),
             (
-                F.lit(1)
+                F.countDistinct("bkt")
                 + F.sum(F.when(F.col("v") != F.col("pv"), 1).otherwise(0))
             ).alias("n_runs"),
         ).select(
@@ -125,15 +147,22 @@ ORDER BY n_customers DESC, segment
 LIMIT 25
 """,
     doc="RFM segmentation: per customer, recency (last order date), "
-    "frequency, monetary total -> quintile scores via ntile(5) over "
-    "total orders (value, custkey) so every boundary is deterministic; "
-    "segment = 100r+10f+m, top-25 segments by population — the CRM "
-    "targeting table (555 = champions, 111 = lost). One customer "
-    "rollup, three ntiles sharing its output, a segment-space-bounded "
-    "final aggregate.",
+    "frequency, monetary total -> quintile scores with ntile(5) "
+    "SEMANTICS over total orders (value, custkey) so every boundary is "
+    "deterministic; segment = 100r+10f+m, top-25 segments by "
+    "population — the CRM targeting table (555 = champions, 111 = "
+    "lost). The r4-flagged global ntile windows are gone: each score "
+    "is a distributed two-phase rank (operators/ranking) fed through "
+    "the exact ntile bucket-size formula — bit-identical to the "
+    "oracle's ntile(5), no single-partition stage. Cutpoint "
+    "broadcasting could not reproduce ntile exactly here because the "
+    "tiebreak key (custkey) makes boundaries composite values; the "
+    "distributed rank preserves the oracle unchanged.",
     tags=("bi", "crm", "window", "fixed-point"),
 )
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6_spark.operators.ranking import ntile_from_rank, two_phase_rank
+
     orders = _t(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
@@ -142,11 +171,28 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary"
         ),
     )
-    scored = per_cust.select(
+    ranked = two_phase_rank(
+        per_cust,
+        [F.asc("last_order"), F.asc("o_custkey")],
+        # non-strict monotone image suffices: equal days share a bucket
+        F.unix_date(F.col("last_order").cast("date")),
+        rn_name="rn_r",
+    )
+    ranked = two_phase_rank(
+        ranked, [F.asc("freq"), F.asc("o_custkey")], F.col("freq"), rn_name="rn_f"
+    )
+    ranked = two_phase_rank(
+        ranked,
+        [F.asc("monetary"), F.asc("o_custkey")],
+        F.col("monetary"),
+        rn_name="rn_m",
+    )
+    n_cust = per_cust.agg(F.count(F.lit(1)).alias("n_cust"))
+    scored = ranked.crossJoin(F.broadcast(n_cust)).select(
         "monetary",
-        F.ntile(5).over(W.orderBy("last_order", "o_custkey")).alias("r_score"),
-        F.ntile(5).over(W.orderBy("freq", "o_custkey")).alias("f_score"),
-        F.ntile(5).over(W.orderBy("monetary", "o_custkey")).alias("m_score"),
+        ntile_from_rank(F.col("rn_r"), F.col("n_cust"), 5).alias("r_score"),
+        ntile_from_rank(F.col("rn_f"), F.col("n_cust"), 5).alias("f_score"),
+        ntile_from_rank(F.col("rn_m"), F.col("n_cust"), 5).alias("m_score"),
     )
     return (
         scored.groupBy(
@@ -204,14 +250,25 @@ FROM (
     "by sequential upstream ids (a large unexpected gap = a dropped "
     "batch; the audit row says where to re-pull). On complete data "
     "the audit proves completeness with zeros rather than silence — "
-    "the calendar counterpart is q_missing_days.",
+    "the calendar counterpart is q_missing_days. The r4-flagged "
+    "global lead() window is gone: keys get a distributed two-phase "
+    "rank (operators/ranking), and the successor key arrives by an "
+    "ordinary rn = rn+1 equi-self-join — same (k, nk) pairs as the "
+    "oracle's lead(k) OVER (ORDER BY k), one range shuffle + one hash "
+    "shuffle, no single-partition stage.",
     tags=("forensics", "quality", "window"),
 )
 def q_key_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6_spark.operators.ranking import two_phase_rank
+
     out = None
     for name, tbl, key in _GAP_SEQUENCES:
         k = _t(spark, sf_dir, tbl).select(F.col(key).alias("k")).distinct()
-        led = k.select("k", F.lead("k").over(W.orderBy("k")).alias("nk"))
+        ranked = two_phase_rank(k, [F.asc("k")], F.col("k"))
+        nxt = ranked.select(
+            (F.col("rn") - 1).alias("rn"), F.col("k").alias("nk")
+        )
+        led = ranked.join(nxt, "rn", "left").select("k", "nk")
         row = led.agg(
             F.count(F.lit(1)).alias("n_keys"),
             F.min("k").alias("k_min"),
