@@ -137,12 +137,17 @@ FROM b GROUP BY bucket ORDER BY bucket
     "collapsed per-value table — the selectivity statistic every "
     "optimizer keeps (equi-WIDTH q_histogram answers 'what does the "
     "distribution look like'; equi-DEPTH answers 'how many rows does "
-    "BETWEEN a AND b touch' with bounded error). The cumulative window "
-    "runs over distinct values, not rows, and bucket bounds + "
-    "distinct-counts per bucket come out of the same pass.",
+    "BETWEEN a AND b touch' with bounded error). The cumulative pass "
+    "runs over distinct values, not rows — but distinct ORDER VALUES "
+    "grow with the data (measured 1.5k -> 150k across the sf0.001 -> "
+    "sf0.1 decade), so the cumsum is a distributed two-phase prefix "
+    "sum (operators/ranking), not a single-partition window; n_tot is "
+    "a broadcast 1-row aggregate.",
     tags=("stats", "optimizer", "window", "fixed-point"),
 )
 def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6_spark.operators.ranking import two_phase_rank
+
     orders = _t(spark, sf_dir, "orders")
     per = (
         orders.select(
@@ -151,13 +156,10 @@ def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cents")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    wc = W.orderBy("cents").rowsBetween(W.unboundedPreceding, W.currentRow)
-    cum = per.select(
-        "cents",
-        "c",
-        F.sum("c").over(wc).alias("cum_n"),
-        F.sum("c").over(W.partitionBy()).alias("n_tot"),
-    )
+    ranked = two_phase_rank(per, [F.asc("cents")], F.col("cents"), cum_cols=["c"])
+    cum = ranked.crossJoin(
+        F.broadcast(per.agg(F.sum("c").alias("n_tot")))
+    ).select("cents", "c", F.col("cum_c").alias("cum_n"), "n_tot")
     b = cum.select(
         F.expr(f"((cum_n - 1) * {_ED_BUCKETS}) div n_tot").alias("bucket"),
         "cents",

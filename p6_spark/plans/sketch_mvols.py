@@ -106,12 +106,20 @@ def q_histogram_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.exceptAll(direct)
         .agg(F.count(F.lit(1)).alias("n_bucket_diff"))
     )
-    cum = merged.select(
-        "bucket",
-        F.sum("n")
-        .over(W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow))
-        .alias("cum_n"),
-        F.sum("n").over(W.partitionBy()).alias("nt"),
+    # Distributed prefix sums (operators/ranking): the exact-rank pass
+    # previously ran row_number over EVERY order row through one
+    # partition (measured 1.5k -> 150k window input across the
+    # sf0.001 -> sf0.1 decade — the r4-flagged scale-killer class).
+    # Collapsing to per-value counts first is rank-equivalent for an
+    # order statistic: min cents with cum_count*100 >= q*nt is the same
+    # value the row-level rank formula picks, tie-order-invariantly.
+    from p6_spark.operators.ranking import two_phase_rank
+
+    nt_row = F.broadcast(v.agg(F.count(F.lit(1)).alias("nt")))
+    cum = (
+        two_phase_rank(merged, [F.asc("bucket")], F.col("bucket"), cum_cols=["n"])
+        .crossJoin(nt_row)
+        .select("bucket", F.col("cum_n").alias("cum_n"), "nt")
     )
     qs = v.sparkSession.createDataFrame([(50,), (90,), (99,)], "q int")
     marks = (
@@ -120,10 +128,11 @@ def q_histogram_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q")
         .agg(F.min("bucket").alias("qb"))
     )
-    ranked = v.select(
-        "cents",
-        F.row_number().over(W.orderBy("cents")).alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("nt"),
+    per_val = v.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
+    ranked = (
+        two_phase_rank(per_val, [F.asc("cents")], F.col("cents"), cum_cols=["c"])
+        .crossJoin(nt_row)
+        .select("cents", F.col("cum_c").alias("rn"), "nt")
     )
     exact_ranks = (
         ranked.crossJoin(F.broadcast(qs))

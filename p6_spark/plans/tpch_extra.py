@@ -123,9 +123,12 @@ FROM supplier JOIN rev ON s_suppkey = l_suppkey
 WHERE total_rev = (SELECT max(total_rev) FROM rev)
 ORDER BY s_suppkey
 """,
-    doc="TPC-H Q15 shape: argmax via scalar subquery, rewritten as an "
-    "unpartitioned window max over the (already tiny) per-supplier "
-    "aggregate — no second scan of the fact table.",
+    doc="TPC-H Q15 shape: argmax via scalar subquery, implemented as a "
+    "1-row max aggregate broadcast back onto the per-supplier rollup — "
+    "no second scan of the fact table and no single-partition window "
+    "(the per-supplier table grows with the data: measured 10 -> 1000 "
+    "rows across the sf0.001 -> sf0.1 decade, so the previous "
+    "global-window max was in the r4-flagged scale-killer class).",
     tags=("agg", "subquery", "window"),
 )
 def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -137,9 +140,9 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy("l_suppkey").agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev")
     )
-    top = rev.withColumn("mx", F.max("total_rev").over(W.partitionBy())).filter(
-        F.col("total_rev") == F.col("mx")
-    )
+    top = rev.crossJoin(
+        F.broadcast(rev.agg(F.max("total_rev").alias("mx")))
+    ).filter(F.col("total_rev") == F.col("mx"))
     return (
         top.join(F.broadcast(sup), top.l_suppkey == sup.s_suppkey)
         .select("s_suppkey", "s_name", "total_rev")

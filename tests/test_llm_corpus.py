@@ -36,3 +36,19 @@ def test_near_dedup_never_keeps_both_sides(spark, sf_dir):
     kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
     for p in pairs:
         assert not (p["id_a"] in kept_ids and p["id_b"] in kept_ids)
+
+
+def test_sharded_merge_equals_single_run(spark, sf_dir):
+    """Pipeline-level mergeability (VERDICT r4 item 7): running the
+    ingest stages per shard and merging with the documented combine
+    step yields EXACTLY the single-run output — the 100 TB operating
+    mode (per-shard ingest, global merge) loses nothing. The oracle
+    gate proves the same thing against DuckDB (pipe_sharded_merge is
+    certified by pipe_llm_corpus's own single-run oracle); this test
+    pins Spark-vs-Spark equality row for row."""
+    from p6_spark.plans import QUERIES, get_queries
+
+    get_queries()
+    single = QUERIES["pipe_llm_corpus"].build(spark, sf_dir).collect()
+    sharded = QUERIES["pipe_sharded_merge"].build(spark, sf_dir).collect()
+    assert [tuple(r) for r in sharded] == [tuple(r) for r in single]
