@@ -326,3 +326,50 @@ def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").transformWithStateInPandas(
         RunningTotals(), out_schema, "Update", "None"
     )
+
+
+def write_time_chunks(spark, sf_dir: str, out_dir: str, n_chunks: int) -> str:
+    """Split the events table into ``n_chunks`` time-ordered parquet
+    files with ascending mtimes — a replayable micro-batch archive.
+    The file source orders by (mtime, path), so with
+    ``maxFilesPerTrigger=1`` each chunk becomes one micro-batch and the
+    watermark genuinely advances between batches (the state-bound and
+    decade-throughput harnesses depend on that).
+
+    Driver-side pandas on purpose: this is a measurement/test harness
+    that materializes an ordered file archive, not a query operator —
+    at production scale the archive already exists (Kafka/object-store
+    landing files); nothing here runs in a registered query plan."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from p6_spark.sources.tables import load_table
+
+    pdf = load_table(spark, sf_dir, "events").orderBy("ts").toPandas()
+    # micro precision so chunk files read back as timestamp_ntz
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    os.makedirs(out_dir, exist_ok=True)
+    n = len(pdf)
+    for i in range(n_chunks):
+        chunk = pdf.iloc[i * n // n_chunks : (i + 1) * n // n_chunks]
+        path = os.path.join(out_dir, f"chunk_{i:04d}.parquet")
+        pq.write_table(pa.Table.from_pandas(chunk, preserve_index=False), path)
+        os.utime(path, (time.time() - n_chunks + i,) * 2)
+    return out_dir
+
+
+def read_chunked_stream(spark, chunk_dir: str, max_files: int = 1) -> DataFrame:
+    """Streaming scan of a write_time_chunks archive (one file per
+    micro-batch by default), normalized exactly like read_events_stream."""
+    from p6_spark.sources.tables import normalize_event_ts
+
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", str(max_files))
+        .load(chunk_dir)
+    )
+    return normalize_event_ts(raw).withColumn("ts", F.col("ts").cast("timestamp"))

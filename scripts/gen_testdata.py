@@ -18,7 +18,14 @@ Row-count scale model (measured):
   embeddings min(2000, max(500, 20k*sf)) (harness caps the quadratic
   brute-force-cosine table), event users = customer/10.
 
-Usage: python scripts/gen_testdata.py SF OUTDIR   (e.g. 1.0 localdata/sf1.0)
+Usage: python scripts/gen_testdata.py SF OUTDIR [VOCAB]
+  VOCAB: fixed30 (default, the harness's ~30-word vocabulary) or
+  powerlaw (round-5 stretch: 5000-word Zipf(1.1) vocabulary — the
+  realistic middle ground between the harness's degenerate 30-word
+  corpus, which forced the LSH max_bucket caps, and a uniform
+  high-entropy one where the caps never fire; used to certify that the
+  caps neither over-prune nor under-bound on realistic skew).
+  e.g. python scripts/gen_testdata.py 0.01 localdata/skew0.01 powerlaw
 """
 
 from __future__ import annotations
@@ -62,7 +69,7 @@ def _days_ts(rng, n, lo_day, hi_day) -> pa.Array:
     )
 
 
-def generate(sf: float, out: str) -> None:
+def generate(sf: float, out: str, vocab_mode: str = "fixed30") -> None:
     rng = np.random.default_rng(SEED)
     os.makedirs(out, exist_ok=True)
     n_cust = round(150_000 * sf)
@@ -219,15 +226,28 @@ def generate(sf: float, out: str) -> None:
         ),
     )
 
-    vocab = np.array(DOC_VOCAB)
     lens = rng.integers(10, 100, n_doc)
     texts: list[str] = []
+    if vocab_mode == "powerlaw":
+        # Zipf(1.1) over a 5000-word vocabulary: realistic token skew
+        # ("the"-class heads, long tail) instead of the harness's
+        # 30-word degenerate corpus. Draw word INDICES by normalized
+        # Zipf pmf so the distribution is exact and seed-stable.
+        v_size = 5000
+        ranks = np.arange(1, v_size + 1, dtype="float64")
+        pmf = ranks ** -1.1
+        pmf /= pmf.sum()
+        vocab = np.array([f"w{i}" for i in range(v_size)])
+        draw = lambda k: vocab[rng.choice(v_size, k, p=pmf)]  # noqa: E731
+    else:
+        vocab = np.array(DOC_VOCAB)
+        draw = lambda k: vocab[rng.integers(0, len(vocab), k)]  # noqa: E731
     for i in range(n_doc):
         if i > 0 and rng.random() < 0.05:
             # near-dup plant: copy an earlier doc, append the 'dup' marker
             texts.append(texts[rng.integers(0, i)] + " dup")
         else:
-            texts.append(" ".join(vocab[rng.integers(0, len(vocab), lens[i])]))
+            texts.append(" ".join(draw(lens[i])))
     _write(
         out,
         "documents",
@@ -262,5 +282,6 @@ def generate(sf: float, out: str) -> None:
 if __name__ == "__main__":
     sf = float(sys.argv[1])
     out = sys.argv[2]
-    print(f"generating sf={sf} -> {out}")
-    generate(sf, out)
+    vocab_mode = sys.argv[3] if len(sys.argv) > 3 else "fixed30"
+    print(f"generating sf={sf} ({vocab_mode}) -> {out}")
+    generate(sf, out, vocab_mode)

