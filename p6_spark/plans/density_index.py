@@ -23,68 +23,86 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # DBSCAN core/border/noise inside label blocks
 # ---------------------------------------------------------------------------
 
-_DB_EPS2 = 30_000_000  # eps^2 in x1e3-quantized integer units
-_DB_MINPTS = 4
+_DB_EPS2 = 1_600_000  # eps^2 in x1e3-quantized integer units (cos ~ 0.2)
+_DB_MINPTS = 3
 
 
-@register(
-    "ml_dbscan_core",
-    oracle=f"""
-WITH e AS (
+def _sql_dbscan_oracle() -> str:
+    from p6_spark.plans.llm_ops import _sql_adaptive_cand
+
+    return f"""
+WITH {_sql_adaptive_cand()},
+q AS (
   SELECT vec_id, label,
          list_transform(embedding::double[],
                         x -> cast(round(x * 1000, 0) AS bigint)) AS qv
   FROM embeddings
 ),
+sym AS (SELECT id_a AS u, id_b AS w FROM cand
+        UNION ALL SELECT id_b, id_a FROM cand),
 nbr AS (
-  SELECT a.vec_id, a.label, count(*) AS n_nbrs
-  FROM e a JOIN e b
-    ON a.label = b.label AND a.vec_id <> b.vec_id
-   AND list_sum(list_transform(a.qv, (x, i) -> (x - b.qv[i]) * (x - b.qv[i])))
-         <= {_DB_EPS2}
-  GROUP BY a.vec_id, a.label
+  SELECT u AS vec_id, count(*) AS n_nbrs
+  FROM sym JOIN q a ON a.vec_id = u JOIN q b ON b.vec_id = w
+  WHERE list_sum(list_transform(a.qv, (x, i) -> (x - b.qv[i]) * (x - b.qv[i])))
+          <= {_DB_EPS2}
+  GROUP BY u
 ),
 cls AS (
-  SELECT e.vec_id, e.label,
+  SELECT q.vec_id, q.label,
          CASE WHEN coalesce(n.n_nbrs, 0) >= {_DB_MINPTS} THEN 'core'
               WHEN coalesce(n.n_nbrs, 0) >= 1 THEN 'border'
               ELSE 'noise' END AS role
-  FROM e LEFT JOIN nbr n ON n.vec_id = e.vec_id
+  FROM q LEFT JOIN nbr n ON n.vec_id = q.vec_id
 )
 SELECT label, role, cast(count(*) AS bigint) AS n_points
 FROM cls GROUP BY label, role
 ORDER BY label, role
-""",
-    doc="DBSCAN density roles per label block: core (>= minPts "
-    "eps-neighbors), border (some), noise (none) — the density audit "
-    "that finds outlier embeddings a centroid-based view (ml_silhouette) "
-    "calls fine. eps^2 is an integer threshold over x1e3-quantized "
-    "squared L2, so membership is exact. The quadratic neighbor count "
-    "runs ONLY inside label blocks (the dd_embedding_neardup blocking "
-    "contract — LSH buckets when no natural key exists); nothing "
-    "crosses blocks.",
-    tags=("ml", "clustering", "density", "fixed-point"),
+"""
+
+
+@register(
+    "ml_dbscan_core",
+    oracle=_sql_dbscan_oracle(),
+    doc="DBSCAN density roles over CAPPED ADAPTIVE-LSH neighborhoods: "
+    "core (>= minPts eps-neighbors), border (some), noise (none), "
+    "reported per label. Neighbor CANDIDATES come from the same capped "
+    "adaptive-LSH blocking as dd_embedding_neardup (signature width "
+    "grows with log2(corpus), buckets capped at 20), so the neighbor "
+    "count is a lower bound restricted to LSH-colliding pairs and the "
+    "pairwise work grows O(n) — replacing the round-5 label-blocked "
+    "variant whose fixed-cardinality key was quadratic in corpus size. "
+    "eps^2 is an integer threshold over x1e3-quantized squared L2, so "
+    "membership is exact and the DuckDB twin replays signatures, "
+    "buckets, cap, and roles bit-identically. "
+    ".. versionchanged:: round 6 — blocking key and (eps2, minPts) "
+    "recalibrated to the LSH neighborhood (1.6e6, 3); role counts are "
+    "not comparable with rounds <= 5.",
+    tags=("ml", "clustering", "density", "fixed-point", "lsh"),
 )
 def ml_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6_spark.operators.similarity import lsh_candidate_vec_pairs
+
     emb = _t(spark, sf_dir, "embeddings")
     qv = F.transform(
         "embedding", lambda x: F.round(x.cast("double") * 1000, 0).cast("long")
     )
     e = emb.select("vec_id", "label", qv.alias("qv"))
+    cand = lsh_candidate_vec_pairs(emb)
+    sym = cand.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("w")
+    ).unionAll(cand.select(F.col("id_b").alias("u"), F.col("id_a").alias("w")))
     d2 = F.aggregate(
         F.zip_with(F.col("a.qv"), F.col("b.qv"), lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
     nbr = (
-        e.alias("a")
+        sym.join(e.select(F.col("vec_id").alias("u"), F.col("qv")).alias("a"), "u")
         .join(
-            e.alias("b"),
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
+            e.select(F.col("vec_id").alias("w"), F.col("qv")).alias("b"), "w"
         )
         .filter(d2 <= _DB_EPS2)
-        .groupBy(F.col("a.vec_id").alias("vec_id"))
+        .groupBy(F.col("u").alias("vec_id"))
         .agg(F.count(F.lit(1)).alias("n_nbrs"))
     )
     cls = e.join(nbr, "vec_id", "left").select(

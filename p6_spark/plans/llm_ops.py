@@ -462,35 +462,69 @@ def txt_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _sql_adaptive_cand(
+    src: str = "embeddings", num_tables: int = 4, max_bucket: int = 20
+) -> str:
+    """DuckDB twin of operators/similarity.lsh_candidate_vec_pairs:
+    CTEs ``e`` (vec_id, label, v), ``np`` (adaptive plane count from the
+    corpus size), signature/bucket/cap stages, ending in ``cand``
+    (id_a < id_b, distinct). Masking the 16-plane signature to the lower
+    ``planes`` bits is bit-identical to computing the narrower
+    signature, in both engines."""
+    sig_cols = ",\n         ".join(
+        f"{_sql_lsh_sig(t, 16)} AS s{t}" for t in range(num_tables)
+    )
+    tbls = ", ".join(str(t) for t in range(num_tables))
+    ss = ", ".join(f"s{t}" for t in range(num_tables))
+    return f"""e AS (SELECT vec_id, label, embedding::double[] AS v FROM {src}),
+np AS (SELECT least(16, greatest(8, cast(ceil(log2(count(*))) AS int) - 1)) AS planes
+       FROM e),
+sigs AS (
+  SELECT vec_id,
+         {sig_cols}
+  FROM e
+),
+b AS (
+  SELECT vec_id, tbl, sig & ((1::BIGINT << planes) - 1) AS bkt
+  FROM (SELECT vec_id, unnest([{tbls}]) AS tbl, unnest([{ss}]) AS sig FROM sigs), np
+),
+small AS (SELECT tbl, bkt FROM b GROUP BY tbl, bkt HAVING count(*) <= {max_bucket}),
+bs AS (SELECT b.* FROM b JOIN small USING (tbl, bkt)),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+  FROM bs a JOIN bs c ON a.tbl = c.tbl AND a.bkt = c.bkt AND a.vec_id < c.vec_id
+)"""
+
+
 @register(
     "dd_embedding_neardup",
-    oracle="""
-WITH e AS (
-  SELECT vec_id, label, embedding::DOUBLE[] AS v
-  FROM embeddings
-),
-pairs AS (
-  SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
-         round(list_cosine_similarity(a.v, b.v), 6) AS cos
-  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-),
-ranked AS (
-  SELECT *, row_number() OVER (PARTITION BY label ORDER BY cos DESC, id_a, id_b) AS rn
-  FROM pairs WHERE cos >= 0.3
+    oracle=f"""
+WITH {_sql_adaptive_cand()},
+scored AS (
+  SELECT id_a, id_b,
+         round(list_cosine_similarity(ea.v, eb.v), 6) AS cos
+  FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
 )
-SELECT label, id_a, id_b, cast(round(cos * 1000000, 0) AS bigint) AS cos_x1e6
-FROM ranked WHERE rn <= 3
-ORDER BY label, cos_x1e6 DESC, id_a, id_b
+SELECT id_a, id_b, cast(round(cos * 1000000, 0) AS bigint) AS cos_x1e6
+FROM scored WHERE cos >= 0.3
+ORDER BY cos_x1e6 DESC, id_a, id_b
 """,
-    doc="Embedding-cosine near-dup: exact cosine within blocking-key "
-    "groups (label here; LSH buckets when no natural key), top "
-    "candidates per block. One shuffle on the block key; the quadratic "
-    "comparison never crosses blocks — the pattern that survives 100 TB.",
-    tags=("dedup", "similarity", "blocking"),
+    doc="Embedding-cosine near-dup over CAPPED ADAPTIVE-LSH blocks: "
+    "candidates share a random-hyperplane bucket in any of 4 "
+    "OR-amplified tables, signature width grows with log2(corpus) so "
+    "expected bucket occupancy stays ~2 rows, and buckets above 20 "
+    "members are dropped before the self-join — candidate pairs grow "
+    "O(n) by construction (measured 4x rows -> 4.46x pairs; the gate "
+    "in tests/test_pair_growth.py enforces it). Replaces the round-5 "
+    "label-blocked variant whose fixed-cardinality key made "
+    "within-block pairs quadratic; output schema changed to "
+    "(id_a, id_b, cos_x1e6) — see lsh_blocked_neardup_pairs "
+    "versionchanged note.",
+    tags=("dedup", "similarity", "blocking", "lsh"),
 )
 def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim.blocked_neardup_pairs(emb)
+    return sim.lsh_blocked_neardup_pairs(emb)
 
 
 _SQL_IVF_MODEL = """e AS (
