@@ -58,6 +58,7 @@ def two_phase_rank(
     cum_cols: Sequence[str] = (),
     buckets: int = 64,
     rn_name: str = "rn",
+    bounds: DataFrame | None = None,
 ) -> DataFrame:
     """Add a global 1-based ``row_number`` (``rn_name``) over the total
     order ``order`` — and, for each name in ``cum_cols``, a running sum
@@ -65,16 +66,44 @@ def two_phase_rank(
     unpartitioned window.
 
     ``order`` must be a TOTAL order (unique composite key) and
-    ``range_expr`` a NUMERIC expression monotone in its leading sort
-    key (e.g. the key itself, or ``F.unix_date(col)`` for dates), with
-    ``descending`` matching the leading key's direction. All original
-    columns are preserved.
+    ``range_expr`` a NUMERIC, NON-NULL expression monotone in its
+    leading sort key (e.g. the key itself, or ``F.unix_date(col)`` for
+    dates), with ``descending`` matching the leading key's direction.
+    A NULL ``range_expr`` raises at execution (``raise_error``) instead
+    of silently dropping the row — a null bucket key would never
+    satisfy the equi-join back to the broadcast offsets. Callers with
+    nullable keys must coalesce explicitly and own the placement.
+    All original columns are preserved.
+
+    ``bounds``: optional precomputed 1-row DataFrame with columns
+    ``_tpr_lo``/``_tpr_hi`` = min/max of ``range_expr`` over ``df``.
+    When several ranks chain over the SAME (cached) base, computing all
+    bounds in ONE aggregate and passing them here avoids re-executing
+    the base lineage once per rank (the round-5 q_rfm_segments 11.7x
+    regression). Wrong bounds give wrong ranks — they must be the true
+    min/max.
     """
     order = list(order)
-    stats = df.agg(
-        F.min(range_expr).alias("_tpr_lo"), F.max(range_expr).alias("_tpr_hi")
+    stats = (
+        bounds.select("_tpr_lo", "_tpr_hi")
+        if bounds is not None
+        else df.agg(
+            F.min(range_expr).alias("_tpr_lo"), F.max(range_expr).alias("_tpr_hi")
+        )
     )
-    v = range_expr.cast("double")
+    v = (
+        F.when(range_expr.isNotNull(), range_expr)
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "two_phase_rank: range_expr is NULL — the bucket "
+                    "equi-join would silently drop this row; coalesce "
+                    "nulls explicitly before ranking"
+                )
+            )
+        )
+        .cast("double")
+    )
     lo = F.col("_tpr_lo").cast("double")
     hi = F.col("_tpr_hi").cast("double")
     span = hi - lo + F.lit(1.0)
@@ -126,19 +155,32 @@ def two_phase_rank(
     return out.drop(*drop)
 
 
+def _idiv(a: Column, b: Column) -> Column:
+    """Exact trunc-division of non-negative integral columns at ANY
+    magnitude: ``(a - a % b)`` is an exact multiple of ``b``, and a
+    decimal division whose true quotient is an integer representable in
+    decimal(38,6) is exact — no double rounding anywhere (double
+    true-division is only exact below ~2^53 and can round a quotient
+    across an integer boundary above that)."""
+    ad = a.cast("decimal(38,0)")
+    bd = b.cast("decimal(38,0)")
+    return ((ad - ad % bd) / bd).cast("long")
+
+
 def ntile_from_rank(rn: Column, n: Column, k: int) -> Column:
     """SQL ``ntile(k)`` from a 1-based global rank ``rn`` and total row
     count ``n``: the first ``n mod k`` tiles hold ``n div k + 1`` rows,
     the rest ``n div k`` — the exact bucket-boundary rule both Spark and
     DuckDB implement, so scoring from a distributed rank matches an
-    ``ntile`` oracle bit-for-bit. (When ``n < k`` every row is its own
-    tile; the first branch always applies, so the q=0 division below is
-    never evaluated. Doubles are exact here: all quantities < 2^53.)"""
-    q = (n / F.lit(k)).cast("long")  # n div k, both non-negative
+    ``ntile`` oracle bit-for-bit, unconditionally: all divisions go
+    through exact integer division (``_idiv``), never doubles. (When
+    ``n < k`` every row is its own tile; the first branch always
+    applies, so the q=0 division below is never evaluated.)"""
+    q = _idiv(n, F.lit(k))
     rem = n % F.lit(k)
     big = rem * (q + 1)
     return (
-        F.when(rn <= big, ((rn - 1) / (q + 1)).cast("long") + 1)
-        .otherwise(rem + ((rn - big - 1) / q).cast("long") + 1)
+        F.when(rn <= big, _idiv(rn - 1, q + 1) + 1)
+        .otherwise(rem + _idiv(rn - big - 1, q) + 1)
         .cast("int")
     )

@@ -164,35 +164,73 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from p6_spark.operators.ranking import ntile_from_rank, two_phase_rank
 
     orders = _t(spark, sf_dir, "orders")
-    per_cust = orders.groupBy("o_custkey").agg(
-        F.max("o_orderdate").alias("last_order"),
-        F.count(F.lit(1)).alias("freq"),
-        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
-            "monetary"
-        ),
+    # The three ranks all consume the same per-customer aggregate; the
+    # round-5 chained version re-executed the orders scan + groupBy once
+    # per rank's internal min/max subtree (~5x, an 11.7x bench
+    # regression). Cut the lineage ONCE, compute every bound + the
+    # customer count in ONE aggregate, and feed precomputed bounds into
+    # each rank; the ranks then run independently off the cached base
+    # and join back on the customer key.
+    r_expr = F.unix_date(F.col("last_order").cast("date"))
+    base = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "monetary"
+            ),
+        )
+        .localCheckpoint()
     )
-    ranked = two_phase_rank(
-        per_cust,
+    stats = base.agg(
+        F.min(r_expr).alias("r_lo"),
+        F.max(r_expr).alias("r_hi"),
+        F.min("freq").alias("f_lo"),
+        F.max("freq").alias("f_hi"),
+        F.min("monetary").alias("m_lo"),
+        F.max("monetary").alias("m_hi"),
+        F.count(F.lit(1)).alias("n_cust"),
+    ).localCheckpoint()
+
+    def bnd(lo: str, hi: str) -> DataFrame:
+        return stats.select(
+            F.col(lo).alias("_tpr_lo"), F.col(hi).alias("_tpr_hi")
+        )
+
+    # non-strict monotone image suffices: equal days share a bucket
+    rk_r = two_phase_rank(
+        base,
         [F.asc("last_order"), F.asc("o_custkey")],
-        # non-strict monotone image suffices: equal days share a bucket
-        F.unix_date(F.col("last_order").cast("date")),
+        r_expr,
         rn_name="rn_r",
-    )
-    ranked = two_phase_rank(
-        ranked, [F.asc("freq"), F.asc("o_custkey")], F.col("freq"), rn_name="rn_f"
-    )
-    ranked = two_phase_rank(
-        ranked,
+        bounds=bnd("r_lo", "r_hi"),
+    ).select("o_custkey", "rn_r")
+    rk_f = two_phase_rank(
+        base,
+        [F.asc("freq"), F.asc("o_custkey")],
+        F.col("freq"),
+        rn_name="rn_f",
+        bounds=bnd("f_lo", "f_hi"),
+    ).select("o_custkey", "rn_f")
+    rk_m = two_phase_rank(
+        base,
         [F.asc("monetary"), F.asc("o_custkey")],
         F.col("monetary"),
         rn_name="rn_m",
-    )
-    n_cust = per_cust.agg(F.count(F.lit(1)).alias("n_cust"))
-    scored = ranked.crossJoin(F.broadcast(n_cust)).select(
-        "monetary",
-        ntile_from_rank(F.col("rn_r"), F.col("n_cust"), 5).alias("r_score"),
-        ntile_from_rank(F.col("rn_f"), F.col("n_cust"), 5).alias("f_score"),
-        ntile_from_rank(F.col("rn_m"), F.col("n_cust"), 5).alias("m_score"),
+        bounds=bnd("m_lo", "m_hi"),
+    ).select("o_custkey", "rn_m")
+    scored = (
+        base.join(rk_r, "o_custkey")
+        .join(rk_f, "o_custkey")
+        .join(rk_m, "o_custkey")
+        .crossJoin(F.broadcast(stats.select("n_cust")))
+        .select(
+            "monetary",
+            ntile_from_rank(F.col("rn_r"), F.col("n_cust"), 5).alias("r_score"),
+            ntile_from_rank(F.col("rn_f"), F.col("n_cust"), 5).alias("f_score"),
+            ntile_from_rank(F.col("rn_m"), F.col("n_cust"), 5).alias("m_score"),
+        )
     )
     return (
         scored.groupBy(

@@ -149,17 +149,28 @@ def ml_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from p6_spark.operators.ranking import ntile_from_rank, two_phase_rank
 
     ev = _t(spark, sf_dir, "events")
+    # lineage cut + single bounds aggregate: the rank's internal min/max
+    # subtree and the n_tot attach would otherwise each re-execute the
+    # events scan + groupBy (the q_rfm_segments round-5 regression class)
     users = ev.groupBy("user_id").agg(
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("score"),
         F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
             "converted"
         ),
-    )
+    ).localCheckpoint()
+    stats = users.agg(
+        F.min("score").alias("_tpr_lo"),
+        F.max("score").alias("_tpr_hi"),
+        F.count(F.lit(1)).alias("n_tot"),
+    ).localCheckpoint()
     ranked = two_phase_rank(
-        users, [F.desc("score"), F.asc("user_id")], F.col("score"), descending=True
+        users,
+        [F.desc("score"), F.asc("user_id")],
+        F.col("score"),
+        descending=True,
+        bounds=stats,
     )
-    n_users_tot = users.agg(F.count(F.lit(1)).alias("n_tot"))
-    deciled = ranked.crossJoin(F.broadcast(n_users_tot)).select(
+    deciled = ranked.crossJoin(F.broadcast(stats.select("n_tot"))).select(
         "score",
         "converted",
         ntile_from_rank(F.col("rn"), F.col("n_tot"), 10).alias("decile"),
