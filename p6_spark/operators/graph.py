@@ -18,6 +18,19 @@ tiny and dense, so 3-5 rounds in practice. localCheckpoint every round
 truncates the lineage so the plan doesn't grow exponentially (the
 classic iterative-Spark trap).
 
+Cluster-deployment note (applies to every iterative operator in this
+module — CC, k-core, BFS, pagerank, cheapest-path): ``localCheckpoint``
+pins the cut lineage to executor-local block storage, which is the
+right call in local mode and on short jobs, but the blocks die with the
+executor — on a 1000-executor / 100 TB run a single executor loss would
+fail the job instead of recomputing. There, set a checkpoint dir
+(``spark.sparkContext.setCheckpointDir('hdfs://...')``) and swap in
+reliable ``DataFrame.checkpoint()`` — same semantics, blocks land on
+HDFS/object storage and survive executor churn, at the cost of one
+write+read round-trip per round. The operators keep ``localCheckpoint``
+as the default because the harness runs single-JVM; the swap is a
+one-word change at each call site.
+
 Not SQL-expressible in one query (recursive), so the registry entry is
 rows-only; correctness is pinned by tests against a driver-side
 union-find on the same edges.

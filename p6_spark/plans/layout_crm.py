@@ -34,6 +34,17 @@ _ENC_COLS = [
 # RLE resets at file/row-group boundaries. This is what makes the plan
 # scale-safe — the lag window partitions by bucket instead of funneling
 # the whole table through one partition (the r4-flagged shape).
+#
+# Two caveats consumers of n_runs/avg_run_len must know (ADVICE r5):
+# - OUTPUT-COMPATIBILITY BREAK at round 5: bucketing changed the
+#   observable numbers, not just the plan — n_runs = n_buckets +
+#   within-bucket changes, so r5+ values are NOT diffable against
+#   rounds <= 4 (which counted runs over one global order).
+# - The bucket keys on SPARSE l_orderkey values: TPC-H assigns ~1 in 4
+#   orderkeys, so a 2048-orderkey bucket holds ~512 orders (~2k
+#   lineitem rows), not 2048 orders. The approximation only shifts
+#   where runs reset; a dense per-file row index would need the very
+#   global ordering this plan exists to avoid.
 _ENC_BUCKET = 2048
 
 

@@ -48,10 +48,21 @@ def pipe_sharded_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    # Each shard's ingest output is localCheckpoint-ed: downstream the
+    # union is referenced twice by the global exact dedup (groupBy +
+    # semi-join) and several more times by the near-dedup (signatures,
+    # banding, survivor join), so uncut lineage re-executed every
+    # shard's gate+dedup once per reference (~17s at sf0.01 in the r5
+    # sweep — the heaviest query in the registry). Cutting at the shard
+    # boundary is also the honest 100 TB shape: shard outputs ARE
+    # materialized artifacts in the sharded operating mode. The merged
+    # survivor set is cut too before the near-dedup fan-out.
     per_shard = [
-        dedup_exact(quality_gate(docs.filter(F.col("doc_id") % _N_SHARDS == i)))
+        dedup_exact(
+            quality_gate(docs.filter(F.col("doc_id") % _N_SHARDS == i))
+        ).localCheckpoint()
         for i in range(_N_SHARDS)
     ]
     merged = reduce(DataFrame.unionAll, per_shard)
-    global_clean = dedup_exact(merged)  # combine: keep-min is associative
+    global_clean = dedup_exact(merged).localCheckpoint()  # keep-min is associative
     return enrich(drop_near_duplicates(global_clean)).orderBy("doc_id")

@@ -61,6 +61,15 @@ def _walk(node, depth=0):
     if depth > 100:
         return
     yield node
+    # subquery expression plans (ScalarSubquery/InSubquery hosts) are
+    # NOT children() — an unpartitioned Window hidden inside a scalar
+    # subquery would otherwise evade the gate (ADVICE r5)
+    try:
+        subs = node.subqueries()
+        for i in range(subs.size()):
+            yield from _walk(subs.apply(i), depth + 1)
+    except Exception:
+        pass
     cname = node.getClass().getSimpleName()
     if cname == "AdaptiveSparkPlanExec":
         yield from _walk(node.executedPlan(), depth + 1)
