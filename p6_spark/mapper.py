@@ -60,6 +60,11 @@ def apply_mapping(
             spark, chosen["genotype"], "genotype", strict_variants=strict_variants
         )
         records["genotype"], _ = r.valid, audits.append(r.audit)
+        # opt-in VV gene-xref enrichment (P6_SPARK_ENRICH_GENE_XREFS=1;
+        # identity when off — the reference's own unwired default)
+        from p6_spark.sources.vv import enrich_genotypes_with_xrefs
+
+        records["genotype"] = enrich_genotypes_with_xrefs(records["genotype"])
     if "phenotype" in chosen:
         r = map_phenotype_table(spark, chosen["phenotype"], "phenotype", ontology=ontology)
         records["phenotype"], _ = r.valid, audits.append(r.audit)

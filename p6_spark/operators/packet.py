@@ -68,6 +68,25 @@ def assemble_phenopackets(
         # Expression (src/P6/genotype.py:374-376), so syntax is never set
         # and MessageToJson omits the default-valued field. Matching that
         # keeps packet JSON byte-diffable against reference output.
+        # geneContext is symbol-only by default (byte-golden vs the
+        # reference). When the opt-in VV enrichment ran upstream
+        # (sources/vv.enrich_genotypes_with_xrefs, flag
+        # P6_SPARK_ENRICH_GENE_XREFS), the hgnc_id/ensembl_gene_id
+        # columns are present and fold in as GeneDescriptor valueId /
+        # alternateIds — empty xrefs null out so the JSON sink omits
+        # them exactly like MessageToJson omits default proto fields.
+        if "hgnc_id" in genotypes.columns:
+            gene_ctx = F.struct(
+                F.nullif(F.col("hgnc_id"), F.lit("")).alias("valueId"),
+                F.col("gene_symbol").alias("symbol"),
+                F.when(
+                    F.col("ensembl_gene_id").isNotNull()
+                    & (F.col("ensembl_gene_id") != ""),
+                    F.array(F.col("ensembl_gene_id")),
+                ).alias("alternateIds"),
+            )
+        else:
+            gene_ctx = F.struct(F.col("gene_symbol").alias("symbol"))
         vd = F.struct(
             F.array(
                 F.struct(
@@ -78,7 +97,7 @@ def assemble_phenopackets(
                 geno_code_for_zygosity(F.col("zygosity")).alias("id"),
                 F.col("zygosity").alias("label"),
             ).alias("allelicState"),
-            F.struct(F.col("gene_symbol").alias("symbol")).alias("geneContext"),
+            gene_ctx.alias("geneContext"),
         )
         gi = F.struct(
             F.col("genotype_patient_ID").alias("subjectOrBiosampleId"),
