@@ -463,14 +463,19 @@ def txt_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_adaptive_cand(
-    src: str = "embeddings", num_tables: int = 4, max_bucket: int = 20
+    src: str = "embeddings", num_tables: int = 4, max_bucket: int = 20,
+    materialized: bool = False,
 ) -> str:
     """DuckDB twin of operators/similarity.lsh_candidate_vec_pairs:
     CTEs ``e`` (vec_id, label, v), ``np`` (adaptive plane count from the
     corpus size), signature/bucket/cap stages, ending in ``cand``
     (id_a < id_b, distinct). Masking the 16-plane signature to the lower
     ``planes`` bits is bit-identical to computing the narrower
-    signature, in both engines."""
+    signature, in both engines. ``materialized`` pins the bucket/cand
+    CTEs with MATERIALIZED — required when the chain feeds a RECURSIVE
+    consumer, where DuckDB's default inlining would re-evaluate the
+    signature stage per closure iteration (the q_graph_kcore lesson)."""
+    m = "MATERIALIZED " if materialized else ""
     sig_cols = ",\n         ".join(
         f"{_sql_lsh_sig(t, 16)} AS s{t}" for t in range(num_tables)
     )
@@ -488,9 +493,9 @@ b AS (
   SELECT vec_id, tbl, sig & ((1::BIGINT << planes) - 1) AS bkt
   FROM (SELECT vec_id, unnest([{tbls}]) AS tbl, unnest([{ss}]) AS sig FROM sigs), np
 ),
-small AS (SELECT tbl, bkt FROM b GROUP BY tbl, bkt HAVING count(*) <= {max_bucket}),
-bs AS (SELECT b.* FROM b JOIN small USING (tbl, bkt)),
-cand AS (
+small AS {m}(SELECT tbl, bkt FROM b GROUP BY tbl, bkt HAVING count(*) <= {max_bucket}),
+bs AS {m}(SELECT b.* FROM b JOIN small USING (tbl, bkt)),
+cand AS {m}(
   SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
   FROM bs a JOIN bs c ON a.tbl = c.tbl AND a.bkt = c.bkt AND a.vec_id < c.vec_id
 )"""
@@ -525,6 +530,72 @@ ORDER BY cos_x1e6 DESC, id_a, id_b
 def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.lsh_blocked_neardup_pairs(emb)
+
+
+@register(
+    "dd_semantic_dedup",
+    oracle=f"""
+WITH RECURSIVE {_sql_adaptive_cand(materialized=True)},
+sem AS MATERIALIZED (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           round(list_cosine_similarity(ea.v, eb.v), 6) AS cos
+    FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
+  ) WHERE cos >= 0.3
+),
+edges AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM sem UNION SELECT id_b, id_a FROM sem
+),
+reach AS (
+  SELECT u AS node, u AS label FROM edges
+  UNION
+  SELECT e2.u, r.label FROM edges e2 JOIN reach r ON r.node = e2.v
+),
+comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+sizes AS (SELECT component, count(*) AS cs FROM comp GROUP BY component)
+SELECT e.vec_id, e.label, cast(coalesce(s.cs, 1) AS bigint) AS cluster_size
+FROM e LEFT JOIN sizes s ON s.component = e.vec_id
+WHERE e.vec_id NOT IN (SELECT node FROM comp WHERE node <> component)
+ORDER BY e.vec_id
+""",
+    doc="Semantic dedup (the SemDeDup pattern for LLM corpora): vectors "
+    "whose cosine >= 0.3 within the capped adaptive-LSH candidate set "
+    "form a similarity graph; connected components cluster it, and "
+    "exactly ONE representative per cluster survives (the min vec_id — "
+    "greedy pair-dropping can over-drop on chains, the dd_cc_clusters "
+    "lesson applied to embeddings). Output: every surviving vector with "
+    "the size of the cluster it represents. Scale shape: O(n) candidate "
+    "pairs (pair-growth gated), bounded-round min-label propagation, "
+    "linear anti-join/size join back — each stage individually "
+    "certified; the DuckDB twin replays signatures, cap, cosine gate, "
+    "and the recursive closure (bucket/cand CTEs MATERIALIZED so the "
+    "closure doesn't re-run the signature chain per iteration).",
+    tags=("dedup", "similarity", "graph", "lsh", "iterative"),
+)
+def dd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6_spark.operators.graph import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = sim.lsh_blocked_neardup_pairs(emb).select("id_a", "id_b")
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cs"))
+    losers = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("vec_id")
+    )
+    return (
+        emb.join(losers, "vec_id", "left_anti")
+        .join(
+            sizes.select(F.col("component").alias("vec_id"), "cs"),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.coalesce(F.col("cs"), F.lit(1)).cast("long").alias("cluster_size"),
+        )
+        .orderBy("vec_id")
+    )
 
 
 _SQL_IVF_MODEL = """e AS (

@@ -52,6 +52,9 @@ INVARIANT_QUERIES = [
     "pipe_drop_funnel",         # per-source stage attrition counts
     "txt_novelty_curve",        # min-per-shingle first-seen join
     "q_growth_accounting",      # distinct (user,week) ledger
+    # round-6 adaptive-LSH family
+    "dd_semantic_dedup",        # capped-LSH pairs + min-label components
+    "dd_embedding_neardup",     # adaptive-bucket candidates, integer cos
     # ordinal/risk closing batch
     "q_kendall_gamma",          # contingency-cell pair products
     "ml_roc_auc",               # tie-aware rank-sum AUC
