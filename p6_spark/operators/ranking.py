@@ -59,6 +59,7 @@ def two_phase_rank(
     buckets: int = 64,
     rn_name: str = "rn",
     bounds: DataFrame | None = None,
+    partition_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Add a global 1-based ``row_number`` (``rn_name``) over the total
     order ``order`` — and, for each name in ``cum_cols``, a running sum
@@ -82,8 +83,20 @@ def two_phase_rank(
     the base lineage once per rank (the round-5 q_rfm_segments 11.7x
     regression). Wrong bounds give wrong ranks — they must be the true
     min/max.
+
+    ``partition_cols``: optional grouping columns — the rank / running
+    sums restart per group (SQL ``PARTITION BY g ORDER BY ...``), but
+    the physical partitioning stays ``(bucket, g)``, so a LOW-cardinality
+    group key (the classic 3-flag / per-tenant case, where a plain
+    ``Window.partitionBy(g)`` funnels everything through |g| tasks)
+    still spreads over all ``buckets`` x |g| tasks. The bucket bounds
+    stay GLOBAL (one min/max, not per group): buckets are order-monotone
+    within every group, which is all phases 2-3 need. The per-bucket
+    summary grows to ``buckets`` x |g| rows and is broadcast — keep |g|
+    small (<= thousands).
     """
     order = list(order)
+    pcols = list(partition_cols)
     stats = (
         bounds.select("_tpr_lo", "_tpr_hi")
         if bounds is not None
@@ -117,21 +130,27 @@ def two_phase_rank(
         .withColumn("_tpr_bkt", bkt)
         .drop("_tpr_lo", "_tpr_hi")
     )
-    wloc = W.partitionBy("_tpr_bkt").orderBy(*order)
+    wloc = W.partitionBy("_tpr_bkt", *pcols).orderBy(*order)
     wrun = wloc.rowsBetween(W.unboundedPreceding, W.currentRow)
     local = part.withColumn("_tpr_rn", F.row_number().over(wloc))
     for c in cum_cols:
         local = local.withColumn(f"_tpr_cum_{c}", F.sum(c).over(wrun))
 
-    btot = local.groupBy("_tpr_bkt").agg(
+    btot = local.groupBy("_tpr_bkt", *pcols).agg(
         F.count(F.lit(1)).alias("_tpr_cnt"),
         *[F.sum(c).alias(f"_tpr_tot_{c}") for c in cum_cols],
     )
     a = btot.alias("a")
     b = btot.alias("b")
+    tri = F.col("b._tpr_bkt") < F.col("a._tpr_bkt")
+    for g in pcols:
+        tri = tri & (F.col(f"b.{g}") == F.col(f"a.{g}"))
     offs = (
-        a.join(F.broadcast(b), F.col("b._tpr_bkt") < F.col("a._tpr_bkt"), "left")
-        .groupBy(F.col("a._tpr_bkt").alias("_tpr_bkt"))
+        a.join(F.broadcast(b), tri, "left")
+        .groupBy(
+            F.col("a._tpr_bkt").alias("_tpr_bkt"),
+            *[F.col(f"a.{g}").alias(g) for g in pcols],
+        )
         .agg(
             F.coalesce(F.sum("b._tpr_cnt"), F.lit(0)).alias("_tpr_rn_off"),
             *[
@@ -142,7 +161,7 @@ def two_phase_rank(
             ],
         )
     )
-    out = local.join(F.broadcast(offs), "_tpr_bkt").withColumn(
+    out = local.join(F.broadcast(offs), ["_tpr_bkt", *pcols]).withColumn(
         rn_name, (F.col("_tpr_rn") + F.col("_tpr_rn_off")).cast("long")
     )
     for c in cum_cols:

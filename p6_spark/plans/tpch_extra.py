@@ -11,7 +11,7 @@ multiplication (bal * n > total) so no division happens at all.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
@@ -279,26 +279,85 @@ ORDER BY l_returnflag
 """,
     doc="Exact discrete percentiles per group (percentile_disc: first "
     "value whose cume_dist >= p — picks an actual data value, so no "
-    "interpolation arithmetic to drift between engines). At 100 TB the "
-    "approx_percentile sketch (q_approx_sketches) is the right tool; "
-    "this is the exact-correctness twin.",
-    tags=("percentile", "agg"),
+    "interpolation arithmetic to drift between engines). NOT Spark's "
+    "built-in percentile_disc: that aggregate buffers every value per "
+    "group in the agg buffer and merges the buffers on one reducer per "
+    "group — the same funnel as an unpartitioned window (24.8s at sf1.0 "
+    "locally, OOM-shaped at 100 TB). Instead: collapse to per-(group, "
+    "value) counts, distributed prefix-sum via two_phase_rank with "
+    "partition_cols (physical partitioning (bucket, group), so 3 groups "
+    "still use every core), then each quantile is min(val | cum*den >= "
+    "p_num*n) with the cume_dist >= p test cross-multiplied into exact "
+    "long arithmetic. ~4x faster locally, and the only per-group "
+    "sequential state left is the 64-row bucket summary. The "
+    "approx_percentile sketch (q_approx_sketches) remains the cheap "
+    "tool; this is the exact-correctness twin at the same shuffle "
+    "shape as any hash aggregate.",
+    tags=("percentile", "agg", "two-phase"),
 )
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6_spark.operators.ranking import two_phase_rank
+
     li = _t(spark, sf_dir, "lineitem")
-    li.createOrReplaceTempView("li_pct")
-    return spark.sql(
-        """
-        SELECT l_returnflag,
-               percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS p50_qty,
-               percentile_disc(0.9)  WITHIN GROUP (ORDER BY l_quantity) AS p90_qty,
-               percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_extendedprice) AS p50_price,
-               percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice) AS p99_price,
-               count(*) AS n
-        FROM li_pct
-        GROUP BY l_returnflag
-        ORDER BY l_returnflag
-        """
+    # melt both value columns into ONE tall pass: a single shuffle and a
+    # single two-phase prefix-sum serve all four quantiles
+    tall = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.expr(
+            "stack(2, 'qty', l_quantity, 'price', l_extendedprice)"
+            " as (ck, val)"
+        ),
+    ).filter(F.col("val").isNotNull())
+    # per-(column, flag, value) counts: the only row-count-sized
+    # aggregate, an ordinary hash shuffle with map-side partials;
+    # three downstream subtrees (bucket bounds, main pass, per-group
+    # totals) — cut the lineage or the aggregate re-executes per subtree
+    cnts = (
+        tall.groupBy("ck", "flag", "val")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
+    ranked = two_phase_rank(
+        cnts,
+        order=[F.col("val")],
+        range_expr=F.col("val"),
+        cum_cols=["cnt"],
+        partition_cols=["ck", "flag"],
+    )
+    tot = cnts.groupBy("ck", "flag").agg(F.sum("cnt").alias("nv"))
+    j = ranked.join(F.broadcast(tot), ["ck", "flag"])
+
+    # percentile_disc(p): smallest val with cume_dist >= p, i.e.
+    # cum/nv >= num/den  <=>  cum*den >= num*nv (exact in longs)
+    def pick(ck: str, num: int, den: int) -> Column:
+        return F.min(
+            F.when(
+                (F.col("ck") == ck)
+                & (F.col("cum_cnt") * F.lit(den) >= F.col("nv") * F.lit(num)),
+                F.col("val"),
+            )
+        )
+
+    quants = j.groupBy("flag").agg(
+        pick("qty", 1, 2).alias("p50_qty"),
+        pick("qty", 9, 10).alias("p90_qty"),
+        pick("price", 1, 2).alias("p50_price"),
+        pick("price", 99, 100).alias("p99_price"),
+    )
+    n = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        quants.join(n, "flag")
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            "p50_qty",
+            "p90_qty",
+            "p50_price",
+            "p99_price",
+            "n",
+        )
+        .orderBy("l_returnflag")
     )
 
 

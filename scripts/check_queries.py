@@ -64,6 +64,13 @@ def main() -> int:
                 print(f"  - {p}")
         else:
             print(f"ok   {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+        # localCheckpoint blocks persist for the session; over a 269-query
+        # sweep they accumulate into storage-memory pressure that slowed
+        # late checkpoint-heavy queries ~10x (q_graph_modularity measured
+        # 124s in-sweep vs 12s standalone at sf1.0). The query is done —
+        # free its blocks before the next one.
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
     print(f"\n{len(names) - n_fail}/{len(names)} green")
     return 1 if n_fail else 0
 

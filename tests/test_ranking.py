@@ -108,6 +108,51 @@ def test_no_unpartitioned_window_in_plan(spark):
     assert unpartitioned_window_count(got) == 0
 
 
+def test_partition_cols_match_per_group_window(spark):
+    random.seed(11)
+    rows = [
+        (i, ("A", "B", "C")[i % 3], random.randint(0, 1000), random.randint(1, 500))
+        for i in range(3007)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, g string, v long, amt long"
+    ).repartition(13)
+    got = two_phase_rank(
+        df,
+        [F.asc("v"), F.asc("id")],
+        F.col("v"),
+        cum_cols=["amt"],
+        buckets=8,
+        partition_cols=["g"],
+    )
+    w = W.partitionBy("g").orderBy("v", "id")
+    exp = df.select(
+        "id",
+        F.row_number().over(w).alias("rn"),
+        F.sum("amt")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum_amt"),
+    )
+    g = {r.id: (r.rn, r.cum_amt) for r in got.select("id", "rn", "cum_amt").collect()}
+    e = {r.id: (r.rn, r.cum_amt) for r in exp.collect()}
+    assert g == e
+
+
+def test_partition_cols_group_of_one_row(spark):
+    # a group whose rows all land in one bucket and a group spanning all
+    # buckets coexist: offsets are per (bucket, group)
+    rows = [(0, "solo", 5, 1)] + [(i, "many", i, 1) for i in range(1, 900)]
+    df = spark.createDataFrame(rows, "id long, g string, v long, amt long")
+    got = two_phase_rank(
+        df, [F.asc("v"), F.asc("id")], F.col("v"), cum_cols=["amt"],
+        buckets=8, partition_cols=["g"],
+    )
+    res = {(r.g, r.id): (r.rn, r.cum_amt) for r in got.collect()}
+    assert res[("solo", 0)] == (1, 1)
+    assert res[("many", 1)] == (1, 1)
+    assert res[("many", 899)] == (899, 899)
+
+
 def test_constant_key_degenerates_but_stays_correct(spark):
     df = spark.createDataFrame([(i, 42) for i in range(100)], "id long, v long")
     ranked = two_phase_rank(df, [F.asc("v"), F.asc("id")], F.col("v"))
