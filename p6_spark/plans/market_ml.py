@@ -310,6 +310,157 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PQ asymmetric-distance (ADC) top-k search over the sign-grid codes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_pq_search",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::double[] AS v FROM embeddings),
+codes AS (
+  SELECT vec_id, sub, code FROM e,
+    LATERAL (SELECT unnest([{", ".join(str(s) for s in range(_PQ_SUBSPACES))}]) AS sub,
+                    unnest([{", ".join(_sql_pq_code(s) for s in range(_PQ_SUBSPACES))}]) AS code) c
+),
+q AS (
+  SELECT vec_id AS qid,
+         list_transform(v, x -> cast(round(x * 1000, 0) AS bigint)) AS qi
+  FROM e WHERE vec_id < 3
+),
+lut AS (
+  SELECT qid, s.sub, cc.code,
+         list_sum(list_transform(generate_series(0, {_PQ_DIMS - 1}), j ->
+           CASE WHEN ((cc.code >> j) % 2) = 1
+                THEN qi[s.sub * {_PQ_DIMS} + j + 1]
+                ELSE -qi[s.sub * {_PQ_DIMS} + j + 1] END)) AS adc
+  FROM q,
+       (SELECT unnest([{", ".join(str(s) for s in range(_PQ_SUBSPACES))}]) AS sub) s,
+       (SELECT unnest(generate_series(0, 255)) AS code) cc
+),
+scored AS (
+  SELECT l.qid AS query_id, c.vec_id AS match_id,
+         cast(sum(l.adc) AS bigint) AS adc_x1000
+  FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+  WHERE c.vec_id <> l.qid
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, match_id, adc_x1000,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_x1000 DESC, match_id) AS rnk
+  FROM scored
+)
+SELECT query_id, rnk, match_id, adc_x1000
+FROM ranked WHERE rnk <= 5
+ORDER BY query_id, rnk
+""",
+    doc="Asymmetric-distance (ADC) top-k search over the sign-grid PQ "
+    "codes (Jegou et al., 'Product Quantization for Nearest Neighbor "
+    "Search'): each query precomputes an 8x256 lookup table of exact "
+    "subspace inner products against the code book (x1000-quantized "
+    "longs, so the ADC score is an exact integer), and the corpus scan "
+    "touches ONLY the 8 codes per vector — the memory-compression "
+    "pattern that lets a 100 TB float corpus be searched from a few "
+    "hundred GB of codes. The LUT (|q| x 8 x 256 rows) broadcasts; "
+    "scoring is one equi-join on (sub, code) + a (query, vector) "
+    "hash aggregate — linear in corpus size. Top-k avoids the "
+    "per-query window funnel via two_phase_rank(partition_cols), with "
+    "analytic score bounds (+-max sum|q_i|) computed from the query "
+    "set alone, so no extra pass over the corpus-sized score table. "
+    "The sign-grid codebook keeps the whole chain certifiable; a "
+    "learned codebook swaps in per-centroid argmin the same way "
+    "sim_ivf_ann does.",
+    tags=("similarity", "quantization", "ann", "two-phase", "fixed-point"),
+)
+def sim_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6_spark.operators.ranking import two_phase_rank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    e = emb.select("vec_id", v.alias("v"))
+
+    # corpus side: 8 (sub, code) rows per vector — the only thing the
+    # scan carries (at 100 TB this is the codes file, not the floats)
+    code_cols = []
+    for s in range(_PQ_SUBSPACES):
+        bits = [
+            F.when(
+                F.round(F.col("v")[s * _PQ_DIMS + j] * 1000, 0) > 0, F.lit(1 << j)
+            ).otherwise(0)
+            for j in range(_PQ_DIMS)
+        ]
+        code = bits[0]
+        for b in bits[1:]:
+            code = code + b
+        code_cols.append(F.struct(F.lit(s).alias("sub"), code.alias("code")))
+    codes = e.select(
+        "vec_id", F.explode(F.array(*code_cols)).alias("c")
+    ).select("vec_id", F.col("c.sub").alias("sub"), F.col("c.code").alias("code"))
+
+    # query side: x1000-quantized int vectors -> 8x256 ADC lookup table
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"),
+        F.expr(
+            "transform(v, x -> cast(round(x * 1000, 0) as bigint))"
+        ).alias("qi"),
+    )
+    lut = (
+        q.crossJoin(
+            F.broadcast(
+                spark.range(_PQ_SUBSPACES)
+                .select(F.col("id").cast("int").alias("sub"))
+                .crossJoin(
+                    spark.range(256).select(F.col("id").cast("int").alias("code"))
+                )
+            )
+        )
+        .select(
+            "qid",
+            "sub",
+            "code",
+            F.expr(
+                f"aggregate(sequence(0, {_PQ_DIMS - 1}), cast(0 as bigint),"
+                " (acc, j) -> acc + CASE WHEN ((code >> j) % 2) = 1"
+                f" THEN qi[sub * {_PQ_DIMS} + j]"
+                f" ELSE -qi[sub * {_PQ_DIMS} + j] END)"
+            ).alias("adc"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy(F.col("qid").alias("query_id"), F.col("vec_id").alias("match_id"))
+        .agg(F.sum("adc").cast("long").alias("adc_x1000"))
+    )
+    # analytic bucket bounds from the query set alone: |ADC| <= sum|q_i|
+    bounds = (
+        q.select(
+            F.expr(
+                "aggregate(qi, cast(0 as bigint), (acc, x) -> acc + abs(x))"
+            ).alias("s")
+        )
+        .agg(F.max("s").alias("_tpr_hi"))
+        .select((-F.col("_tpr_hi")).alias("_tpr_lo"), "_tpr_hi")
+    )
+    ranked = two_phase_rank(
+        scored,
+        order=[F.desc("adc_x1000"), F.asc("match_id")],
+        range_expr=F.col("adc_x1000"),
+        descending=True,
+        bounds=bounds,
+        partition_cols=["query_id"],
+        buckets=16,
+        rn_name="rnk",
+    )
+    return (
+        ranked.filter(F.col("rnk") <= 5)
+        .select("query_id", F.col("rnk").cast("int").alias("rnk"), "match_id", "adc_x1000")
+        .orderBy("query_id", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
 # LSH band-configuration tuning sweep
 # ---------------------------------------------------------------------------
 

@@ -132,6 +132,53 @@ def test_ivf_fixed_recall_and_ranking(spark, sf_dir):
     assert hit / total > 0.4
 
 
+def test_pq_adc_equals_sign_dot(spark, sf_dir):
+    """The sign-grid PQ codebook reconstructs each subvector as its sign
+    pattern, so the ADC score must equal the exact x1000-quantized
+    dot(q, sign(x)) — the LUT path is lossless w.r.t. that codebook."""
+    from p6_spark.plans.registry import QUERIES, _load_all
+
+    _load_all()
+    got = QUERIES["sim_pq_search"].build(spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings")
+    qi = F.expr(
+        "transform(transform(embedding, x -> cast(x as double)),"
+        " x -> cast(round(x * 1000, 0) as bigint))"
+    )
+    sgn = F.expr(
+        "transform(transform(embedding, x -> cast(x as double)),"
+        " x -> CASE WHEN round(x * 1000, 0) > 0"
+        " THEN cast(1 as bigint) ELSE cast(-1 as bigint) END)"
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), qi.alias("qi")
+    )
+    c = emb.select(F.col("vec_id").alias("match_id"), sgn.alias("sgn"))
+    direct = {
+        (r["query_id"], r["match_id"]): r["adc"]
+        for r in q.crossJoin(c)
+        .select(
+            "query_id",
+            "match_id",
+            F.expr(
+                "aggregate(zip_with(qi, sgn, (a, b) -> a * b),"
+                " cast(0 as bigint), (acc, x) -> acc + x)"
+            ).alias("adc"),
+        )
+        .collect()
+    }
+    assert len(got) == 15
+    by_q = {}
+    for r in got:
+        assert r["adc_x1000"] == direct[(r["query_id"], r["match_id"])]
+        by_q.setdefault(r["query_id"], []).append((r["rnk"], r["adc_x1000"]))
+    for rows in by_q.values():
+        rows.sort()
+        assert [rn for rn, _ in rows] == [1, 2, 3, 4, 5]
+        scores = [s for _, s in rows]
+        assert scores == sorted(scores, reverse=True)
+
+
 def test_dedup_exact_keeps_min_id(spark):
     from p6_spark.operators.dedup import dedup_exact
 
