@@ -222,3 +222,94 @@ def pipe_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as (col_name, n_rows, n_null, n_distinct, min_repr, max_repr)"
         )
     ).orderBy("col_name")
+
+
+# ---------------------------------------------------------------------------
+# Per-source boilerplate / template-shingle report
+# ---------------------------------------------------------------------------
+
+_SQL_WS_TOKENS = (
+    "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+)
+
+
+@register(
+    "txt_boilerplate_shingles",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, source, {_SQL_WS_TOKENS} AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, source,
+         unnest(list_transform(generate_series(1, len(t) - 2),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM tok WHERE len(t) >= 3
+),
+cnt AS (SELECT source, s, cast(count(*) AS bigint) AS n FROM sh GROUP BY 1, 2),
+nd AS (SELECT source, cast(count(*) AS bigint) AS ndocs FROM documents GROUP BY 1),
+ranked AS (
+  SELECT source, s, n,
+         row_number() OVER (PARTITION BY source ORDER BY n DESC, s) AS rnk
+  FROM cnt
+)
+SELECT r.source, r.rnk, r.s AS shingle, r.n AS n_docs_with, nd.ndocs AS n_docs,
+       cast(r.n * 10000 // nd.ndocs AS bigint) AS pct_x1e4
+FROM ranked r JOIN nd USING (source)
+WHERE r.rnk <= 3
+ORDER BY r.source, r.rnk
+""",
+    doc="Per-source boilerplate detection (the CCNet/RefinedWeb 'most "
+    "common template content per dump' pass, adapted to word 3-gram "
+    "shingles since the corpus has no line structure): each document "
+    "contributes its DISTINCT shingles once (presence, not frequency — "
+    "a doc repeating its own header must not vote twice), the "
+    "(source, shingle) doc-frequency table aggregates map-side, and "
+    "the top-3 report per source ranks by doc-frequency with a "
+    "deterministic shingle tiebreak. The rank window partitions by "
+    "source (fixed cardinality) but row_number+filter<=3 gets Spark's "
+    "WindowGroupLimit pushdown, so every map task prunes to 3 rows "
+    "per source BEFORE the shuffle — the per-source partition receives "
+    "O(3 x tasks) rows, not the shingle table. Doc-share emitted as an "
+    "exact x1e4 trunc ratio. In production the top shingles seed the "
+    "strip-list for the cleaning pass.",
+    tags=("text", "quality", "dedup", "window"),
+)
+def txt_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6_spark.operators.text import tokens as _tok
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", "source", _tok(F.col("text")).alias("t"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "CASE WHEN size(t) >= 3 THEN"
+                        " transform(sequence(0, size(t) - 3),"
+                        "   i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+                        " ELSE cast(array() as array<string>) END"
+                    )
+                )
+            ).alias("s"),
+        )
+    )
+    cnt = sh.groupBy("source", "s").agg(F.count(F.lit(1)).alias("n"))
+    nd = docs.groupBy("source").agg(F.count(F.lit(1)).alias("ndocs"))
+    ranked = cnt.withColumn(
+        "rnk",
+        F.row_number().over(W.partitionBy("source").orderBy(F.desc("n"), "s")),
+    ).filter(F.col("rnk") <= 3)
+    return (
+        ranked.join(F.broadcast(nd), "source")
+        .select(
+            "source",
+            "rnk",
+            F.col("s").alias("shingle"),
+            F.col("n").alias("n_docs_with"),
+            F.col("ndocs").alias("n_docs"),
+            F.expr("cast((n * 10000) div ndocs as bigint)").alias("pct_x1e4"),
+        )
+        .orderBy("source", "rnk")
+    )
