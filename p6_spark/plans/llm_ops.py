@@ -948,7 +948,11 @@ def pipe_llm_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     from p6_spark.operators.dedup import dedup_exact
 
-    return enrich(drop_near_duplicates(dedup_exact(quality_gate(docs)))).orderBy("doc_id")
+    # the exact-dedup survivors feed BOTH the LSH-pairs subtree and the
+    # left side of the greedy anti-join inside drop_near_duplicates —
+    # cut the lineage once or scan+gate+exact-dedup executes twice
+    exact = dedup_exact(quality_gate(docs)).localCheckpoint()
+    return enrich(drop_near_duplicates(exact)).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -2543,16 +2547,23 @@ def q_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(F.explode(_tokens(F.col("text"))).alias("token"))
     rows4 = F.array(*[F.lit(i) for i in range(4)])
     cell = md5_int(F.concat(F.col("row_idx").cast("string"), F.lit("_"), F.col("token"))) % 256
-    expanded = tok.select("token", F.explode(rows4).alias("row_idx")).select(
-        "token", "row_idx", cell.alias("cell")
-    )
-    cells = expanded.groupBy("row_idx", "cell").agg(F.count(F.lit(1)).alias("c"))
-    top = (
+    # collapse to vocabulary counts FIRST: md5 runs 4x per DISTINCT
+    # token, not 4x per occurrence (the stream is ~1000x the vocab at
+    # sf1.0 — the cells are identical because summing per-token counts
+    # into a cell equals counting occurrences). Checkpointed: it feeds
+    # both the cells subtree and the top-20.
+    cnt = (
         tok.groupBy("token")
         .agg(F.count(F.lit(1)).alias("true_count"))
-        .orderBy(F.desc("true_count"), F.asc("token"))
-        .limit(20)
+        .localCheckpoint()
     )
+    expanded = cnt.select(
+        "true_count", F.explode(rows4).alias("row_idx"), "token"
+    ).select("true_count", "row_idx", cell.alias("cell"))
+    cells = expanded.groupBy("row_idx", "cell").agg(
+        F.sum("true_count").alias("c")
+    )
+    top = cnt.orderBy(F.desc("true_count"), F.asc("token")).limit(20)
     probes = top.select("token", "true_count", F.explode(rows4).alias("row_idx")).select(
         "token", "true_count", "row_idx", cell.alias("cell")
     )

@@ -333,8 +333,12 @@ def pipe_drop_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from p6_spark.pipelines.llm_corpus import drop_near_duplicates, quality_gate
 
     docs = _t(spark, sf_dir, "documents")
-    gated = quality_gate(docs)
-    exact = dd.dedup_exact(gated)
+    # each stage output feeds BOTH its per-source rollup and the next
+    # stage (and the near-dup stage reads its input twice: LSH subtree +
+    # anti-join) — without the cuts, scan+gate executes ~5x and exact
+    # dedup ~4x
+    gated = quality_gate(docs).localCheckpoint()
+    exact = dd.dedup_exact(gated).localCheckpoint()
     clean = drop_near_duplicates(exact)
 
     def per_source(df: DataFrame, name: str) -> DataFrame:
