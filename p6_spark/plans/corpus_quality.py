@@ -192,36 +192,36 @@ FROM orders"""
     doc="Per-column data-quality profile of the orders table: null count, "
     "exact distinct count, and canonical min/max renderings (money as "
     "x100 bigint, dates as yyyy-MM-dd — engine-stable strings, never raw "
-    "doubles/timestamps). The Spark side computes ALL columns in one "
-    "scan (a single multi-aggregate row, unpivoted via stack); the "
-    "oracle's UNION-ALL-per-column form is the semantic spec. This is "
-    "the schema-drift / ingest-audit pass a pipeline runs on every new "
-    "data drop.",
+    "doubles/timestamps). One union branch per column, mirroring the "
+    "oracle's UNION-ALL form, because Catalyst plans N countDistinct "
+    "aggs in ONE Aggregate via Expand — every input row replicated "
+    "N+1 times with ALL profiled columns attached (measured 25.8s at "
+    "sf1.0). Per-column branches each scan exactly one parquet column "
+    "(pruned) with a single two-phase distinct agg and no Expand: "
+    "3.2s, 8x, byte-identical output. This is the schema-drift / "
+    "ingest-audit pass a pipeline runs on every new data drop.",
     tags=("quality", "profile", "agg"),
 )
 def pipe_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import functools
+
     orders = _t(spark, sf_dir, "orders")
-    aggs = []
+    parts = []
     for c in _PROFILE_COLS:
         rep = _profile_repr(c, "spark")
-        aggs += [
-            F.count(F.lit(1)).alias(f"{c}__rows"),
-            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
-            F.countDistinct(c).alias(f"{c}__distinct"),
-            F.min(F.expr(rep)).alias(f"{c}__min"),
-            F.max(F.expr(rep)).alias(f"{c}__max"),
-        ]
-    one = orders.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', {c}__rows, {c}__null, {c}__distinct, {c}__min, {c}__max"
-        for c in _PROFILE_COLS
-    )
-    return one.select(
-        F.expr(
-            f"stack({len(_PROFILE_COLS)}, {stack_args})"
-            " as (col_name, n_rows, n_null, n_distinct, min_repr, max_repr)"
+        parts.append(
+            orders.agg(
+                F.lit(c).alias("col_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.count(F.lit(1)) - F.count(c)).alias("n_null"),
+                F.countDistinct(c).alias("n_distinct"),
+                F.min(F.expr(rep)).alias("min_repr"),
+                F.max(F.expr(rep)).alias("max_repr"),
+            )
         )
-    ).orderBy("col_name")
+    return functools.reduce(lambda a, b: a.unionAll(b), parts).orderBy(
+        "col_name"
+    )
 
 
 # ---------------------------------------------------------------------------
