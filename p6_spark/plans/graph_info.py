@@ -38,12 +38,12 @@ bands AS (
   UNION ALL
   SELECT doc_id, 3, cast(h6 AS varchar) || '_' || cast(h7 AS varchar) FROM sig
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
 ),
-edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+edges AS MATERIALIZED (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
 reach AS (
   SELECT u AS node, u AS label FROM edges
   UNION
