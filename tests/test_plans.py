@@ -325,11 +325,20 @@ def test_bpe_merge_argmax_broadcasts(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_column_profile_single_scan(spark, sf_dir):
-    # all six column profiles come from ONE scan (multi-aggregate +
-    # stack unpivot), not one scan per column like the oracle spec
+def test_column_profile_no_expand(spark, sf_dir):
+    # one union branch per column: N countDistinct in a single
+    # Aggregate would be planned via Expand — every input row
+    # replicated N+1 times carrying ALL profiled columns (25.8s at
+    # sf1.0; 02cce0b). Per-column branches must each read exactly one
+    # pruned column and carry no Expand anywhere.
     plan = plan_of(QUERIES["pipe_column_profile"].build(spark, sf_dir))
-    assert plan.count("orders.parquet") == 1
+    assert "Expand" not in plan
+    assert plan.count("orders.parquet") == 6
+    # column pruning per branch: no branch reads more than one column
+    import re
+
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        assert m.group(1).count(",") == 0, m.group(0)
 
 
 def test_kendall_gamma_pair_join_stays_on_cells(spark, sf_dir):
