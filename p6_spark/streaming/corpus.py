@@ -74,3 +74,138 @@ def ingest_filter(docs: DataFrame) -> DataFrame:
 def corpus_ingest_stream(docs: DataFrame) -> DataFrame:
     """Filter + exact dedup on content hash (first writer wins)."""
     return ingest_filter(docs).dropDuplicates(["content_md5"])
+
+
+# ---------------------------------------------------------------------------
+# Stream-static incremental near-dedup probe (round 6)
+# ---------------------------------------------------------------------------
+#
+# The batch spelling is plans/incremental_r6.dd_incremental_neardup: a new
+# ingest increment probes the EXISTING corpus's capped banded-minhash index
+# instead of self-joining. Here the increment arrives as a STREAM and the
+# corpus index is a STATIC DataFrame — a stream-static join, the Structured
+# Streaming join mode production ingest actually uses (the index is built
+# once, micro-batches probe it forever). Everything after the probe is
+# per-row Column algebra (array_intersect Jaccard), so the whole pipeline
+# needs NO streaming aggregation — the only state is the (b_id, c_id)
+# dedup keys, and under availableNow backfill that is bounded by the
+# increment's own candidate count (cap x bands x batch rows, linear).
+# A forever-running deployment would swap dropDuplicates for
+# dropDuplicatesWithinWatermark on an ingest-time column, exactly as the
+# events stream demonstrates.
+
+_PROBE_CAP = 20
+_PROBE_TAU_X1E6 = 500000
+_N_HASHES = 8
+_BAND_SIZE = 2
+
+
+def rowwise_minhash_cols(text, num_hashes: int = _N_HASHES) -> dict:
+    """Per-row minhash signature via higher-order functions: identical
+    values to operators/dedup.minhash_signatures (min over DISTINCT
+    tokens of md5_int(f"{i}_{tok}")) but with NO groupBy, so it is legal
+    on an unbounded stream. Zero-token docs yield NULL h_i (the
+    aggregate twin drops them entirely — callers filter h0 IS NOT NULL
+    to match). Pinned equal to the aggregate path in
+    tests/test_streaming_incremental.py."""
+    from p6_spark.operators.text import md5_int, tokens
+
+    toks = F.array_distinct(tokens(text))
+
+    # one-arg lambda via closure: a two-arg lambda would make transform
+    # pass the ARRAY INDEX as the second argument, clobbering the bound i
+    def _h(i: int):
+        return lambda t: md5_int(F.concat(F.lit(f"{i}_"), t))
+
+    return {f"h{i}": F.array_min(F.transform(toks, _h(i))) for i in range(num_hashes)}
+
+
+def _band_array(num_hashes: int = _N_HASHES, band_size: int = _BAND_SIZE):
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"h{b * band_size + j}").cast("string")
+                        for j in range(band_size)
+                    ],
+                ).alias("band_val"),
+            )
+            for b in range(num_hashes // band_size)
+        ]
+    )
+
+
+def corpus_band_index(corpus: DataFrame, cap: int = _PROBE_CAP) -> DataFrame:
+    """STATIC probe index of the existing corpus: banded minhash with
+    buckets above ``cap`` members dropped (non-discriminative mass, the
+    lsh_candidate_pairs discipline — keeps per-probe candidates <=
+    cap x bands). Built once with the batch operators; on a real
+    deployment this is a maintained table, rebuilt per compaction."""
+    from p6_spark.operators import dedup as dd
+
+    sigs = dd.minhash_signatures(corpus)
+    banded = sigs.select(
+        F.col("doc_id").alias("c_id"), F.explode(_band_array()).alias("band")
+    ).select("c_id", "band.band_idx", "band.band_val")
+    small = (
+        banded.groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter(F.col("bn") <= cap)
+        .select("band_idx", "band_val")
+    )
+    return banded.join(small, ["band_idx", "band_val"])
+
+
+def incremental_probe_stream(
+    batch: DataFrame, corpus: DataFrame, tau_x1e6: int = _PROBE_TAU_X1E6
+) -> DataFrame:
+    """Streaming increment probes the static corpus index; exact
+    distinct-token Jaccard confirm per candidate, all per-row exprs.
+
+    ``batch`` may be streaming or batch (the test pins both paths equal
+    row-for-row); ``corpus`` must be batch/static. Returns one row per
+    candidate pair: (b_id, c_id, jac_x1e6, is_match)."""
+    index = corpus_band_index(corpus)
+    corpus_toks = corpus.select(
+        F.col("doc_id").alias("c_id"),
+        F.array_distinct(
+            F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")
+        ).alias("c_toks"),
+    )
+
+    hcols = rowwise_minhash_cols(F.col("text"))
+    probe = (
+        batch.select(
+            F.col("doc_id").alias("b_id"),
+            F.array_distinct(
+                F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")
+            ).alias("b_toks"),
+            *[v.alias(k) for k, v in hcols.items()],
+        )
+        .filter(F.col("h0").isNotNull())
+        .select("b_id", "b_toks", F.explode(_band_array()).alias("band"))
+        .select("b_id", "b_toks", "band.band_idx", "band.band_val")
+    )
+    cand = (
+        probe.join(index, ["band_idx", "band_val"])  # stream-static inner join
+        .select("b_id", "c_id", "b_toks")
+        .dropDuplicates(["b_id", "c_id"])  # state = key columns only
+    )
+    n_common = F.size(F.array_intersect("b_toks", "c_toks"))
+    jac = F.expr(
+        "(n_common * cast(1000000 as bigint))"
+        " div (size(b_toks) + size(c_toks) - n_common)"
+    )
+    return (
+        cand.join(corpus_toks, "c_id")  # second stream-static join
+        .withColumn("n_common", n_common.cast("long"))
+        .select(
+            "b_id",
+            "c_id",
+            jac.alias("jac_x1e6"),
+            (jac >= F.lit(tau_x1e6)).alias("is_match"),
+        )
+    )

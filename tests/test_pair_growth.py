@@ -82,6 +82,52 @@ def _embedding_lsh_pairs(spark, sf_dir):
     return lsh_candidate_vec_pairs(emb)
 
 
+def _incremental_probe_pairs(spark, sf_dir):
+    # mirrors the candidate stage of plans/incremental_r6.dd_incremental_neardup:
+    # batch bands PROBE the capped corpus-band index (no self-join at all)
+    from p6_spark.operators import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % 4 == 0
+    sigs = dd.minhash_signatures(docs)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    "_",
+                    F.col(f"h{2 * b}").cast("string"),
+                    F.col(f"h{2 * b + 1}").cast("string"),
+                ).alias("band_val"),
+            )
+            for b in range(4)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", is_batch.alias("is_batch"), F.explode(bands).alias("band")
+    ).select("doc_id", "is_batch", "band.band_idx", "band.band_val")
+    corpus_small = (
+        banded.filter(~F.col("is_batch"))
+        .groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter(F.col("bn") <= 20)
+        .select("band_idx", "band_val")
+    )
+    corpus_b = banded.filter(~F.col("is_batch")).join(
+        corpus_small, ["band_idx", "band_val"]
+    )
+    return (
+        banded.filter(F.col("is_batch"))
+        .select("band_idx", "band_val", F.col("doc_id").alias("b_id"))
+        .join(
+            corpus_b.select("band_idx", "band_val", F.col("doc_id").alias("c_id")),
+            ["band_idx", "band_val"],
+        )
+        .select("b_id", "c_id")
+        .distinct()
+    )
+
+
 def _market_basket_pairs(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select(
@@ -123,6 +169,10 @@ FAMILIES = {
     "embedding_lsh[dd_embedding_neardup,ml_dbscan_core]": (
         "embeddings",
         _embedding_lsh_pairs,
+    ),
+    "incremental_probe[dd_incremental_neardup]": (
+        "documents",
+        _incremental_probe_pairs,
     ),
     "market_basket[q_market_basket]": ("lineitem", _market_basket_pairs),
     "sorted_neighborhood[er_sorted_neighborhood]": (
