@@ -1,0 +1,356 @@
+"""IVF+PQ composed ANN search (round 6): the production vector-index
+architecture (Jegou et al., "Product Quantization for Nearest Neighbor
+Search" — FAISS's IndexIVFPQ): an IVF coarse quantizer prunes the
+corpus to n_probe centroid lists per query, and inside the probed
+lists the ranking reads ONLY the per-vector PQ codes via the query's
+precomputed asymmetric-distance lookup table — the full-precision
+vectors are never touched after indexing. At 100 TB this is THE
+operating point: the coarse index caps the scan at n_probe/k of the
+corpus and the PQ codes cut the bytes-per-vector ~32x, so a petabyte
+of floats is searched from the codes file alone.
+
+A genuine composition of two already-certified stages: the coarse
+model is bit-identical to sim_ivf_ann's fixed-point Lloyd build
+(plans/llm_ops._SQL_IVF_MODEL replays it), and the codes/LUT are
+bit-identical to sim_pq_search's sign-grid codebook
+(plans/market_ml._sql_pq_code) — so the composed oracle reuses both
+CTE chains verbatim and every emitted value stays an exact integer.
+
+Reference scope: the reference engine has no vector surface at all
+(it is a clinical pandas CLI); this family exists for the harness's
+LLM-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from p6_spark.plans.llm_ops import _SQL_IVF_MODEL
+from p6_spark.plans.market_ml import _PQ_DIMS, _PQ_SUBSPACES, _sql_pq_code
+from p6_spark.plans.registry import register
+from p6_spark.sources.tables import load_table
+
+_N_PROBE = 2
+_TOP_K = 5
+
+
+@register(
+    "sim_ivfpq_search",
+    oracle=f"""
+WITH {_SQL_IVF_MODEL},
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT vec_id AS query_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM df WHERE vec_id < 3
+  ) WHERE rn <= {_N_PROBE}
+),
+cand AS (
+  SELECT p.query_id, af.vec_id AS match_id
+  FROM probes p JOIN af ON af.cid = p.cid
+  WHERE af.vec_id <> p.query_id
+),
+ef AS (SELECT vec_id, embedding::double[] AS v FROM embeddings),
+codes AS (
+  SELECT vec_id, sub, code FROM ef,
+    LATERAL (SELECT unnest([{", ".join(str(s) for s in range(_PQ_SUBSPACES))}]) AS sub,
+                    unnest([{", ".join(_sql_pq_code(s) for s in range(_PQ_SUBSPACES))}]) AS code) c
+),
+q AS (
+  SELECT vec_id AS qid,
+         list_transform(v, x -> cast(round(x * 1000, 0) AS bigint)) AS qi
+  FROM ef WHERE vec_id < 3
+),
+lut AS (
+  SELECT qid, s.sub, cc.code,
+         list_sum(list_transform(generate_series(0, {_PQ_DIMS - 1}), j ->
+           CASE WHEN ((cc.code >> j) % 2) = 1
+                THEN qi[s.sub * {_PQ_DIMS} + j + 1]
+                ELSE -qi[s.sub * {_PQ_DIMS} + j + 1] END)) AS adc
+  FROM q,
+       (SELECT unnest([{", ".join(str(s) for s in range(_PQ_SUBSPACES))}]) AS sub) s,
+       (SELECT unnest(generate_series(0, 255)) AS code) cc
+),
+scored AS (
+  SELECT c.query_id, c.match_id, cast(sum(l.adc) AS bigint) AS adc_x1000
+  FROM cand c
+  JOIN codes k ON k.vec_id = c.match_id
+  JOIN lut l ON l.qid = c.query_id AND l.sub = k.sub AND l.code = k.code
+  GROUP BY 1, 2
+)
+SELECT query_id, rnk, match_id, adc_x1000 FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_x1000 DESC, match_id) AS rnk
+  FROM scored
+) WHERE rnk <= {_TOP_K}
+ORDER BY query_id, rnk
+""",
+    doc="IVF+PQ composed ANN top-k (FAISS IndexIVFPQ shape): the "
+    "fixed-point IVF coarse quantizer (sim_ivf_ann's exact model — "
+    "md5-seeded, two trunc-div Lloyd rounds over x1e4 bigints) prunes "
+    f"each query to its {_N_PROBE} nearest centroid lists, then ADC "
+    "ranking inside the probed lists reads ONLY the 8 sign-grid PQ "
+    "codes per vector against the query's broadcast 8x256 LUT "
+    "(sim_pq_search's exact codebook; x1000-long inner products). "
+    "The corpus is touched twice, both linearly: once to assign+code "
+    "(index build), once filtered to probed lists for scoring — no "
+    "full-precision vector is read at query time. Final top-k is a "
+    "query-partitioned window over candidate rows only. Every value "
+    "is an exact integer, so the full build+probe+ADC chain replays "
+    "in the DuckDB oracle.",
+    tags=("similarity", "ivf", "quantization", "ann", "fixed-point"),
+)
+def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6_spark.operators.ivf import (
+        _assign_fixed,
+        _centroid_array_long,
+        _sq_dist_long,
+        quantize,
+        train_centroids_fixed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = train_centroids_fixed(emb, k=8, iters=2)
+
+    # index build: coarse list assignment + PQ codes, one corpus pass each
+    assigned = _assign_fixed(
+        emb.select(F.col("vec_id").alias("match_id"), quantize(F.col("embedding")).alias("mqv")),
+        "mqv",
+        model,
+    ).select("match_id", "cid")
+
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    e = emb.select(F.col("vec_id").alias("match_id"), v.alias("v"))
+    code_cols = []
+    for s in range(_PQ_SUBSPACES):
+        bits = [
+            F.when(
+                F.round(F.col("v")[s * _PQ_DIMS + j] * 1000, 0) > 0, F.lit(1 << j)
+            ).otherwise(0)
+            for j in range(_PQ_DIMS)
+        ]
+        code = bits[0]
+        for b in bits[1:]:
+            code = code + b
+        code_cols.append(F.struct(F.lit(s).alias("sub"), code.alias("code")))
+    codes = e.select("match_id", F.explode(F.array(*code_cols)).alias("c")).select(
+        "match_id", F.col("c.sub").alias("sub"), F.col("c.code").alias("code")
+    )
+
+    # query side: n_probe nearest lists (integer L2 against the model)
+    # + the x1000 ADC lookup table — both broadcast-sized
+    carr = _centroid_array_long(model)
+    dists = F.transform(
+        carr,
+        lambda c: F.struct(
+            _sq_dist_long(F.col("qqv"), c["cvec"]).alias("d"), c["cid"].alias("cid")
+        ),
+    )
+    probes = F.slice(F.array_sort(dists), 1, _N_PROBE)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"),
+        quantize(F.col("embedding")).alias("qqv"),
+        F.expr(
+            "transform(transform(embedding, x -> cast(x as double)),"
+            " x -> cast(round(x * 1000, 0) as bigint))"
+        ).alias("qi"),
+    )
+    qp = F.broadcast(
+        q.select("qid", F.explode(F.transform(probes, lambda p: p["cid"])).alias("cid"))
+    )
+    lut = F.broadcast(
+        q.crossJoin(
+            F.broadcast(
+                spark.range(_PQ_SUBSPACES)
+                .select(F.col("id").cast("int").alias("sub"))
+                .crossJoin(
+                    spark.range(256).select(F.col("id").cast("int").alias("code"))
+                )
+            )
+        ).select(
+            "qid",
+            "sub",
+            "code",
+            F.expr(
+                f"aggregate(sequence(0, {_PQ_DIMS - 1}), cast(0 as bigint),"
+                " (acc, j) -> acc + CASE WHEN ((code >> j) % 2) = 1"
+                f" THEN qi[sub * {_PQ_DIMS} + j]"
+                f" ELSE -qi[sub * {_PQ_DIMS} + j] END)"
+            ).alias("adc"),
+        )
+    )
+
+    cand = (
+        assigned.join(qp, "cid")
+        .filter(F.col("match_id") != F.col("qid"))
+        .select(F.col("qid").alias("query_id"), "match_id")
+    )
+    scored = (
+        cand.join(codes, "match_id")
+        .join(lut.withColumnRenamed("qid", "query_id"), ["query_id", "sub", "code"])
+        .groupBy("query_id", "match_id")
+        .agg(F.sum("adc").cast("long").alias("adc_x1000"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("adc_x1000"), F.asc("match_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "rnk", "match_id", "adc_x1000")
+        .orderBy("query_id", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of dense + lexical rankers
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60          # the standard RRF damping constant
+_RRF_LIST_DEPTH = 20  # per-ranker candidate depth
+_RRF_TOP = 10
+
+
+@register(
+    "sim_hybrid_rrf",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::double[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+dense AS (
+  SELECT qid, match_id, rnk FROM (
+    SELECT q.qid, e.vec_id AS match_id,
+           row_number() OVER (PARTITION BY q.qid ORDER BY
+             round(list_inner_product(qv, v)
+                   / (sqrt(list_inner_product(qv, qv))
+                      * sqrt(list_inner_product(v, v))), 6) DESC,
+             e.vec_id) AS rnk
+    FROM q, e WHERE e.vec_id <> q.qid
+  ) WHERE rnk <= {_RRF_LIST_DEPTH}
+),
+toks AS (
+  SELECT doc_id, unnest(list_distinct(list_filter(
+    string_split_regex(trim(text), '\\s+'), x -> x <> ''))) AS tok
+  FROM documents
+),
+tsz AS (SELECT doc_id, cast(count(*) AS bigint) AS n_tok FROM toks GROUP BY doc_id),
+qt AS (SELECT doc_id AS qid, tok FROM toks WHERE doc_id < 3),
+inter AS (
+  SELECT qt.qid, t.doc_id AS match_id, cast(count(*) AS bigint) AS n_common
+  FROM qt JOIN toks t ON t.tok = qt.tok AND t.doc_id <> qt.qid
+  GROUP BY 1, 2
+),
+lex AS (
+  SELECT qid, match_id, rnk FROM (
+    SELECT i.qid, i.match_id,
+           row_number() OVER (PARTITION BY i.qid ORDER BY
+             (i.n_common * 1000000)
+               // (sa.n_tok + sb.n_tok - i.n_common) DESC,
+             i.match_id) AS rnk
+    FROM inter i
+    JOIN tsz sa ON sa.doc_id = i.qid
+    JOIN tsz sb ON sb.doc_id = i.match_id
+  ) WHERE rnk <= {_RRF_LIST_DEPTH}
+),
+fused AS (
+  SELECT coalesce(d.qid, l.qid) AS query_id,
+         coalesce(d.match_id, l.match_id) AS match_id,
+         cast(coalesce(1000000 // ({_RRF_K} + d.rnk), 0)
+              + coalesce(1000000 // ({_RRF_K} + l.rnk), 0) AS bigint) AS rrf_x1e6,
+         cast(d.rnk AS bigint) AS dense_rnk,
+         cast(l.rnk AS bigint) AS lex_rnk
+  FROM dense d FULL JOIN lex l ON l.qid = d.qid AND l.match_id = d.match_id
+)
+SELECT query_id, rnk, match_id, rrf_x1e6, dense_rnk, lex_rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_x1e6 DESC, match_id) AS rnk
+  FROM fused
+) WHERE rnk <= {_RRF_TOP}
+ORDER BY query_id, rnk
+""",
+    doc="Hybrid retrieval via reciprocal-rank fusion (Cormack et al., "
+    "'Reciprocal Rank Fusion outperforms Condorcet'): each query doc "
+    "(vec_id < 3; the embeddings and documents tables are id-aligned) "
+    f"retrieves a dense top-{_RRF_LIST_DEPTH} (round-6 cosine, the "
+    "sim_cosine_topk baseline) and a lexical top-"
+    f"{_RRF_LIST_DEPTH} (exact x1e6 distinct-token Jaccard through a "
+    "posting equi-join — only docs sharing a term are ever scored, the "
+    "inverted-index shape), then fuses on rrf = sum over lists of "
+    f"1e6 div ({_RRF_K} + rank) — exact integers, so ties and ordering "
+    "replay in DuckDB. The full-outer union keeps single-list hits "
+    "with NULL rank on the missing leg (standard RRF over the union). "
+    "At scale each leg is the certified retrieval operator it reuses "
+    "(ANN for dense, postings for lexical); the fusion itself is "
+    "rank-only — list-depth-bounded rows per query, no score "
+    "calibration across heterogeneous rankers needed.",
+    tags=("similarity", "retrieval", "rag", "fixed-point"),
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6_spark.operators import dedup as dd
+    from p6_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+
+    dense = (
+        sim.brute_force_topk(emb, emb.filter(F.col("vec_id") < 3), k=_RRF_LIST_DEPTH)
+        .select(F.col("query_id").alias("qid"), "match_id", F.col("rnk").alias("drnk"))
+    )
+
+    toks = dd.distinct_tokens(docs, "doc_id", "text").localCheckpoint()
+    tsz = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    qt = toks.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("qid"), "tok"
+    )
+    inter = (
+        F.broadcast(qt)
+        .join(toks.select(F.col("doc_id").alias("match_id"), "tok"), "tok")
+        .filter(F.col("match_id") != F.col("qid"))
+        .groupBy("qid", "match_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    wl = W.partitionBy("qid").orderBy(
+        F.desc(
+            F.expr("(n_common * cast(1000000 as bigint)) div (n_q + n_m - n_common)")
+        ),
+        F.asc("match_id"),
+    )
+    lex = (
+        inter.join(
+            tsz.select(F.col("doc_id").alias("qid"), F.col("n_tok").alias("n_q")),
+            "qid",
+        )
+        .join(
+            tsz.select(
+                F.col("doc_id").alias("match_id"), F.col("n_tok").alias("n_m")
+            ),
+            "match_id",
+        )
+        .withColumn("lrnk", F.row_number().over(wl))
+        .filter(F.col("lrnk") <= _RRF_LIST_DEPTH)
+        .select("qid", "match_id", "lrnk")
+    )
+
+    fused = (
+        dense.join(lex, ["qid", "match_id"], "full")
+        .select(
+            F.col("qid").alias("query_id"),
+            "match_id",
+            (
+                F.coalesce(
+                    F.expr(f"cast(1000000 as bigint) div ({_RRF_K} + drnk)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"cast(1000000 as bigint) div ({_RRF_K} + lrnk)"), F.lit(0)
+                )
+            ).cast("long").alias("rrf_x1e6"),
+            F.col("drnk").cast("long").alias("dense_rnk"),
+            F.col("lrnk").cast("long").alias("lex_rnk"),
+        )
+    )
+    wf = W.partitionBy("query_id").orderBy(F.desc("rrf_x1e6"), F.asc("match_id"))
+    return (
+        fused.withColumn("rnk", F.row_number().over(wf))
+        .filter(F.col("rnk") <= _RRF_TOP)
+        .select("query_id", "rnk", "match_id", "rrf_x1e6", "dense_rnk", "lex_rnk")
+        .orderBy("query_id", "rnk")
+    )

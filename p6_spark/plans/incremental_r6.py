@@ -105,7 +105,7 @@ def dd_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     is_batch = F.col("doc_id") % 4 == 0
-    sigs = dd.minhash_signatures(docs).localCheckpoint()
+    sigs = dd.minhash_signatures(docs)
 
     bands = F.array(
         *[
