@@ -354,3 +354,179 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rnk", "match_id", "rrf_x1e6", "dense_rnk", "lex_rnk")
         .orderBy("query_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Ranker agreement: overlap@k + Kendall tau between dense and lexical
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_ranker_agreement",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::double[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+dense AS (
+  SELECT qid, match_id, rnk FROM (
+    SELECT q.qid, e.vec_id AS match_id,
+           row_number() OVER (PARTITION BY q.qid ORDER BY
+             round(list_inner_product(qv, v)
+                   / (sqrt(list_inner_product(qv, qv))
+                      * sqrt(list_inner_product(v, v))), 6) DESC,
+             e.vec_id) AS rnk
+    FROM q, e WHERE e.vec_id <> q.qid
+  ) WHERE rnk <= {_RRF_LIST_DEPTH}
+),
+toks AS (
+  SELECT doc_id, unnest(list_distinct(list_filter(
+    string_split_regex(trim(text), '\\s+'), x -> x <> ''))) AS tok
+  FROM documents
+),
+tsz AS (SELECT doc_id, cast(count(*) AS bigint) AS n_tok FROM toks GROUP BY doc_id),
+qt AS (SELECT doc_id AS qid, tok FROM toks WHERE doc_id < 3),
+inter AS (
+  SELECT qt.qid, t.doc_id AS match_id, cast(count(*) AS bigint) AS n_common
+  FROM qt JOIN toks t ON t.tok = qt.tok AND t.doc_id <> qt.qid
+  GROUP BY 1, 2
+),
+lex AS (
+  SELECT qid, match_id, rnk FROM (
+    SELECT i.qid, i.match_id,
+           row_number() OVER (PARTITION BY i.qid ORDER BY
+             (i.n_common * 1000000)
+               // (sa.n_tok + sb.n_tok - i.n_common) DESC,
+             i.match_id) AS rnk
+    FROM inter i
+    JOIN tsz sa ON sa.doc_id = i.qid
+    JOIN tsz sb ON sb.doc_id = i.match_id
+  ) WHERE rnk <= {_RRF_LIST_DEPTH}
+),
+shared AS (
+  SELECT d.qid, d.match_id, d.rnk AS drnk, l.rnk AS lrnk
+  FROM dense d JOIN lex l ON l.qid = d.qid AND l.match_id = d.match_id
+),
+pairs AS (
+  SELECT a.qid,
+         cast(count(*) FILTER (WHERE (a.drnk - b.drnk) * (a.lrnk - b.lrnk) > 0)
+              AS bigint) AS n_conc,
+         cast(count(*) FILTER (WHERE (a.drnk - b.drnk) * (a.lrnk - b.lrnk) < 0)
+              AS bigint) AS n_disc
+  FROM shared a JOIN shared b ON b.qid = a.qid AND a.match_id < b.match_id
+  GROUP BY a.qid
+),
+base AS (
+  SELECT qid, cast(count(*) AS bigint) AS n_shared FROM shared GROUP BY qid
+)
+SELECT q.qid AS query_id,
+       coalesce(b.n_shared, 0) AS n_shared,
+       cast(coalesce(b.n_shared, 0) * 1000000
+            // ({2 * _RRF_LIST_DEPTH} - coalesce(b.n_shared, 0)) AS bigint)
+         AS jac20_x1e6,
+       coalesce(p.n_conc, 0) AS n_conc,
+       coalesce(p.n_disc, 0) AS n_disc,
+       cast(CASE WHEN coalesce(b.n_shared, 0) < 2 THEN 0
+                 ELSE (coalesce(p.n_conc, 0) - coalesce(p.n_disc, 0)) * 1000000
+                      // (b.n_shared * (b.n_shared - 1) / 2) END AS bigint)
+         AS tau_x1e6
+FROM q
+LEFT JOIN base b ON b.qid = q.qid
+LEFT JOIN pairs p ON p.qid = q.qid
+ORDER BY query_id
+""",
+    doc="Ranker-agreement report for the hybrid-retrieval stack: per "
+    f"query, the dense (round-6 cosine) and lexical (posting-join exact "
+    f"Jaccard) top-{_RRF_LIST_DEPTH} lists — the same two legs "
+    "sim_hybrid_rrf fuses — are compared by overlap (shared docs + "
+    "x1e6 Jaccard of the two sets) and Kendall tau over the shared "
+    "docs' rank pairs (row_number ranks are tie-free, so no tie "
+    "correction; tau = (C - D) x1e6 div C(n,2), 0 when n_shared < 2). "
+    "This is the diagnostic that decides whether fusion is worth "
+    "running: tau near 1 means the rankers are redundant, near 0 "
+    "complementary. Shared lists are depth-bounded, so the pair stage "
+    f"is <= C({_RRF_LIST_DEPTH},2) rows per query — constant work per "
+    "query at any corpus size. All integers; full DuckDB replay.",
+    tags=("similarity", "evaluation", "retrieval", "fixed-point"),
+)
+def sim_ranker_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6_spark.operators import dedup as dd
+    from p6_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+
+    dense = (
+        sim.brute_force_topk(emb, emb.filter(F.col("vec_id") < 3), k=_RRF_LIST_DEPTH)
+        .select(F.col("query_id").alias("qid"), "match_id", F.col("rnk").alias("drnk"))
+    )
+
+    toks = dd.distinct_tokens(docs, "doc_id", "text").localCheckpoint()
+    tsz = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    qt = toks.filter(F.col("doc_id") < 3).select(F.col("doc_id").alias("qid"), "tok")
+    inter = (
+        F.broadcast(qt)
+        .join(toks.select(F.col("doc_id").alias("match_id"), "tok"), "tok")
+        .filter(F.col("match_id") != F.col("qid"))
+        .groupBy("qid", "match_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    wl = W.partitionBy("qid").orderBy(
+        F.desc(
+            F.expr("(n_common * cast(1000000 as bigint)) div (n_q + n_m - n_common)")
+        ),
+        F.asc("match_id"),
+    )
+    lex = (
+        inter.join(
+            tsz.select(F.col("doc_id").alias("qid"), F.col("n_tok").alias("n_q")),
+            "qid",
+        )
+        .join(
+            tsz.select(F.col("doc_id").alias("match_id"), F.col("n_tok").alias("n_m")),
+            "match_id",
+        )
+        .withColumn("lrnk", F.row_number().over(wl))
+        .filter(F.col("lrnk") <= _RRF_LIST_DEPTH)
+        .select("qid", "match_id", "lrnk")
+    )
+
+    shared = dense.join(lex, ["qid", "match_id"]).localCheckpoint()
+    a, b = shared.alias("a"), shared.alias("b")
+    disagree = (F.col("a.drnk") - F.col("b.drnk")) * (
+        F.col("a.lrnk") - F.col("b.lrnk")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.qid") == F.col("b.qid"))
+            & (F.col("a.match_id") < F.col("b.match_id")),
+        )
+        .groupBy(F.col("a.qid").alias("qid"))
+        .agg(
+            F.count(F.when(disagree > 0, 1)).alias("n_conc"),
+            F.count(F.when(disagree < 0, 1)).alias("n_disc"),
+        )
+    )
+    base = shared.groupBy("qid").agg(F.count(F.lit(1)).alias("n_shared"))
+
+    qs = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("qid"))
+    return (
+        qs.join(base, "qid", "left")
+        .join(pairs, "qid", "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
+            F.expr(
+                f"cast(coalesce(n_shared, 0) * cast(1000000 as bigint)"
+                f" div ({2 * _RRF_LIST_DEPTH} - coalesce(n_shared, 0)) as bigint)"
+            ).alias("jac20_x1e6"),
+            F.coalesce(F.col("n_conc"), F.lit(0)).cast("long").alias("n_conc"),
+            F.coalesce(F.col("n_disc"), F.lit(0)).cast("long").alias("n_disc"),
+            F.expr(
+                "cast(CASE WHEN coalesce(n_shared, 0) < 2 THEN 0"
+                " ELSE (coalesce(n_conc, 0) - coalesce(n_disc, 0))"
+                " * cast(1000000 as bigint)"
+                " div (n_shared * (n_shared - 1) div 2) END as bigint)"
+            ).alias("tau_x1e6"),
+        )
+        .orderBy("query_id")
+    )
