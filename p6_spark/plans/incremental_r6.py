@@ -45,11 +45,11 @@ bands AS (
     SELECT doc_id, 3, cast(h6 AS varchar) || '_' || cast(h7 AS varchar) FROM sig
   )
 ),
-corpus_small AS (
+corpus_small AS MATERIALIZED (
   SELECT band_idx, band_val FROM bands WHERE NOT is_batch
   GROUP BY band_idx, band_val HAVING count(*) <= {_CAP}
 ),
-cand AS (
+cand AS MATERIALIZED (
   SELECT DISTINCT b.doc_id AS b_id, c.doc_id AS c_id
   FROM bands b
   JOIN (SELECT bb.* FROM bands bb JOIN corpus_small USING (band_idx, band_val)
@@ -57,22 +57,25 @@ cand AS (
     USING (band_idx, band_val)
   WHERE b.is_batch
 ),
-tsz AS (SELECT doc_id, cast(count(*) AS bigint) AS n_tok FROM toks GROUP BY doc_id),
-inter AS (
-  SELECT cand.b_id, cand.c_id, cast(count(*) AS bigint) AS n_common
-  FROM cand
-  JOIN toks ta ON ta.doc_id = cand.b_id
-  JOIN toks tb ON tb.doc_id = cand.c_id AND tb.tok = ta.tok
-  GROUP BY 1, 2
+-- per-doc distinct-token LISTS + list_intersect, not a toks-x-toks row
+-- join: at sf1.0 the row-join form spilled >15 GB (cand x tokens x
+-- tokens intermediate); the list form carries two ~50-element lists
+-- per candidate row instead. Same n_common by construction.
+tlists AS MATERIALIZED (
+  SELECT doc_id, list(tok) AS tl, cast(count(*) AS bigint) AS n_tok
+  FROM toks GROUP BY doc_id
 ),
 scored AS (
-  SELECT cand.b_id, cand.c_id,
-         (coalesce(i.n_common, 0) * 1000000)
-           // (sa.n_tok + sb.n_tok - coalesce(i.n_common, 0)) AS jac_x1e6
-  FROM cand
-  LEFT JOIN inter i ON i.b_id = cand.b_id AND i.c_id = cand.c_id
-  JOIN tsz sa ON sa.doc_id = cand.b_id
-  JOIN tsz sb ON sb.doc_id = cand.c_id
+  SELECT b_id, c_id,
+         (n_common * 1000000) // (n_a + n_b - n_common) AS jac_x1e6
+  FROM (
+    SELECT cand.b_id, cand.c_id,
+           cast(len(list_intersect(a.tl, b.tl)) AS bigint) AS n_common,
+           a.n_tok AS n_a, b.n_tok AS n_b
+    FROM cand
+    JOIN tlists a ON a.doc_id = cand.b_id
+    JOIN tlists b ON b.doc_id = cand.c_id
+  )
 )
 SELECT d.doc_id,
        cast(coalesce(count(s.c_id), 0) AS bigint) AS n_candidates,
