@@ -530,3 +530,133 @@ def sim_ranker_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF index maintenance: assign a new batch, report drift
+# ---------------------------------------------------------------------------
+
+_SQL_IVF_CORPUS = _SQL_IVF_MODEL.replace(
+    "FROM embeddings\n)", "FROM embeddings WHERE vec_id % 4 <> 0\n)"
+)
+
+
+@register(
+    "sim_ivf_incremental",
+    oracle=f"""
+WITH {_SQL_IVF_CORPUS},
+eb AS (
+  SELECT vec_id,
+         list_transform(embedding::double[],
+                        x -> cast(round(x * 10000, 0) AS bigint)) AS qv
+  FROM embeddings WHERE vec_id % 4 = 0
+),
+elb AS (
+  SELECT eb.vec_id, g.i AS pos, qv[g.i] AS v
+  FROM eb, generate_series(1, 64) AS g(i)
+),
+dbb AS (
+  SELECT elb.vec_id, c.cid, sum((elb.v - c.m) * (elb.v - c.m)) AS d
+  FROM elb JOIN c2 c ON c.pos = elb.pos
+  GROUP BY elb.vec_id, c.cid
+),
+ab AS (
+  SELECT vec_id, cid, d FROM (
+    SELECT vec_id, cid, d,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM dbb
+  ) WHERE rn = 1
+),
+acs AS (
+  SELECT af.cid, cast(count(*) AS bigint) AS n_corpus,
+         cast(sum(df.d) AS bigint) AS sd_c
+  FROM af JOIN df ON df.vec_id = af.vec_id AND df.cid = af.cid
+  GROUP BY af.cid
+),
+abs_ AS (
+  SELECT cid, cast(count(*) AS bigint) AS n_batch,
+         cast(sum(d) AS bigint) AS sd_b
+  FROM ab GROUP BY cid
+),
+grid AS (SELECT unnest(generate_series(0, 7)) AS cid)
+SELECT g.cid,
+       coalesce(c.n_corpus, 0) AS n_corpus,
+       coalesce(b.n_batch, 0) AS n_batch,
+       cast(coalesce(b.n_batch, 0) * 1000000
+            // greatest(coalesce(c.n_corpus, 0), 1) AS bigint) AS growth_x1e6,
+       cast(CASE WHEN coalesce(c.n_corpus, 0) = 0 THEN 0
+                 ELSE c.sd_c // c.n_corpus END AS bigint) AS mean_d2_corpus,
+       cast(CASE WHEN coalesce(b.n_batch, 0) = 0 THEN 0
+                 ELSE b.sd_b // b.n_batch END AS bigint) AS mean_d2_batch
+FROM grid g
+LEFT JOIN acs c ON c.cid = g.cid
+LEFT JOIN abs_ b ON b.cid = g.cid
+ORDER BY g.cid
+""",
+    doc="Incremental IVF index maintenance: the coarse quantizer is "
+    "trained on the EXISTING corpus only (vec_id % 4 <> 0; same "
+    "fixed-point Lloyd build as sim_ivf_ann), then the new increment "
+    "assigns into the frozen centroid lists — no retrain per ingest, "
+    "exactly how production vector indexes absorb writes between "
+    "rebuilds. Per list: corpus/batch occupancy, x1e6 growth ratio, "
+    "and mean integer-L2 distortion of each population — rising batch "
+    "distortion or lopsided growth is THE retrain/rebalance trigger. "
+    "Assignment is the codegen argmin fold; per-list stats are one "
+    "8-row aggregate each; only the k x dim model crosses the driver. "
+    "All integers; the oracle replays the corpus-only Lloyd build via "
+    "the sim_ivf_ann CTE chain filtered to the corpus.",
+    tags=("similarity", "ivf", "incremental", "fixed-point"),
+)
+def sim_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6_spark.operators.ivf import (
+        _assign_fixed,
+        _centroid_array_long,
+        _sq_dist_long,
+        quantize,
+        train_centroids_fixed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 4 != 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    model = train_centroids_fixed(corpus, k=8, iters=2)
+    carr = _centroid_array_long(model)
+
+    def _stats(df: DataFrame, n_name: str, d_name: str) -> DataFrame:
+        a = _assign_fixed(
+            df.select(quantize(F.col("embedding")).alias("qv")), "qv", model
+        )
+        a = a.withColumn(
+            "d2",
+            _sq_dist_long(F.col("qv"), F.element_at(carr, F.col("cid") + 1)["cvec"]),
+        )
+        return a.groupBy("cid").agg(
+            F.count(F.lit(1)).alias(n_name), F.sum("d2").alias(d_name)
+        )
+
+    cs = _stats(corpus, "n_corpus", "sd_c")
+    bs = _stats(batch, "n_batch", "sd_b")
+    grid = spark.range(8).select(F.col("id").cast("int").alias("cid"))
+    return (
+        grid.join(cs, "cid", "left")
+        .join(bs, "cid", "left")
+        .select(
+            "cid",
+            F.coalesce("n_corpus", F.lit(0)).cast("long").alias("n_corpus"),
+            F.coalesce("n_batch", F.lit(0)).cast("long").alias("n_batch"),
+            F.expr(
+                "cast(coalesce(n_batch, 0) * cast(1000000 as bigint)"
+                " div greatest(coalesce(n_corpus, 0), cast(1 as bigint))"
+                " as bigint)"
+            ).alias("growth_x1e6"),
+            F.expr(
+                "cast(CASE WHEN coalesce(n_corpus, 0) = 0 THEN 0"
+                " ELSE sd_c div n_corpus END as bigint)"
+            ).alias("mean_d2_corpus"),
+            F.expr(
+                "cast(CASE WHEN coalesce(n_batch, 0) = 0 THEN 0"
+                " ELSE sd_b div n_batch END as bigint)"
+            ).alias("mean_d2_batch"),
+        )
+        .orderBy("cid")
+    )

@@ -449,3 +449,27 @@ def test_bigram_lm_topk_and_no_cartesian(spark, sf_dir):
     plan = plan_of(QUERIES["txt_bigram_lm"].build(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ivfpq_lut_broadcasts_no_cartesian(spark, sf_dir):
+    # the 8x256-per-query ADC LUT and the probe list must broadcast onto
+    # the codes scan; nothing in the chain may fall back to a cartesian
+    plan = plan_of(QUERIES["sim_ivfpq_search"].build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_probe_no_cartesian(spark, sf_dir):
+    # batch bands PROBE the capped corpus index via equi-joins only —
+    # a cartesian here would mean the self-join shape crept back in
+    plan = plan_of(QUERIES["dd_incremental_neardup"].build(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hybrid_rrf_query_side_broadcasts(spark, sf_dir):
+    # the 3-doc lexical query side broadcasts onto the posting join;
+    # no cartesian anywhere in either retrieval leg or the fusion
+    plan = plan_of(QUERIES["sim_hybrid_rrf"].build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
