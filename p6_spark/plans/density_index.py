@@ -280,3 +280,162 @@ def q_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_match))
         .crossJoin(F.broadcast(n_direct))
     )
+
+
+# ---------------------------------------------------------------------------
+# Full DBSCAN labeling: core CC + border attachment
+# ---------------------------------------------------------------------------
+
+
+def _sql_dbscan_clusters_oracle() -> str:
+    from p6_spark.plans.llm_ops import _sql_adaptive_cand
+
+    return f"""
+WITH RECURSIVE {_sql_adaptive_cand()},
+q AS (
+  SELECT vec_id,
+         list_transform(embedding::double[],
+                        x -> cast(round(x * 1000, 0) AS bigint)) AS qv
+  FROM embeddings
+),
+eedges AS MATERIALIZED (
+  SELECT id_a, id_b
+  FROM cand JOIN q a ON a.vec_id = id_a JOIN q b ON b.vec_id = id_b
+  WHERE list_sum(list_transform(a.qv, (x, i) -> (x - b.qv[i]) * (x - b.qv[i])))
+          <= {_DB_EPS2}
+),
+sym AS (SELECT id_a AS u, id_b AS w FROM eedges
+        UNION ALL SELECT id_b, id_a FROM eedges),
+core AS MATERIALIZED (
+  SELECT u AS vec_id FROM sym GROUP BY u HAVING count(*) >= {_DB_MINPTS}
+),
+cce AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM eedges
+  WHERE id_a IN (SELECT vec_id FROM core) AND id_b IN (SELECT vec_id FROM core)
+),
+edges2 AS (SELECT u, v FROM cce UNION SELECT v, u FROM cce),
+reach AS (
+  SELECT u AS node, u AS label FROM edges2
+  UNION
+  SELECT e.u, r.label FROM edges2 e JOIN reach r ON r.node = e.v
+),
+comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+allcore AS MATERIALIZED (
+  SELECT c.vec_id, coalesce(comp.component, c.vec_id) AS component
+  FROM core c LEFT JOIN comp ON comp.node = c.vec_id
+),
+bord AS MATERIALIZED (
+  SELECT s.u AS vec_id, min(a.component) AS component
+  FROM sym s JOIN allcore a ON a.vec_id = s.w
+  WHERE s.u NOT IN (SELECT vec_id FROM core)
+  GROUP BY s.u
+)
+SELECT cluster_id, role, n_points FROM (
+  SELECT component AS cluster_id, 'core' AS role,
+         cast(count(*) AS bigint) AS n_points
+  FROM allcore GROUP BY component
+  UNION ALL
+  SELECT component, 'border', cast(count(*) AS bigint)
+  FROM bord GROUP BY component
+  UNION ALL
+  SELECT cast(-1 AS bigint), 'noise', cast(count(*) AS bigint)
+  FROM q WHERE vec_id NOT IN (SELECT vec_id FROM core)
+            AND vec_id NOT IN (SELECT vec_id FROM bord)
+)
+ORDER BY cluster_id, role
+"""
+
+
+@register(
+    "ml_dbscan_clusters",
+    oracle=_sql_dbscan_clusters_oracle(),
+    doc="FULL DBSCAN labeling (completes ml_dbscan_core's role counts): "
+    "eps-edges come from the same capped adaptive-LSH candidate graph "
+    "and integer eps^2 threshold; cores (>= minPts eps-neighbors) are "
+    "clustered by connected components over CORE-CORE eps-edges "
+    "(operators/graph.py min-label propagation, cluster id = smallest "
+    "core vec_id; isolated cores form singletons), and borders attach "
+    "to the SMALLEST component among their core eps-neighbors — the "
+    "deterministic tie-break for the classic DBSCAN border ambiguity. "
+    "Standard-DBSCAN semantics: a non-core point with only non-core "
+    "neighbors is noise (ml_dbscan_core's looser 'border' = any "
+    "neighbor). Output is (cluster_id, role, n_points) + one noise "
+    "row. Scale: pair work is the capped-LSH candidate volume (O(n)), "
+    "CC is bounded-round min-label over the core subgraph, border "
+    "attach is one aggregate; the DuckDB twin replays everything via "
+    "a recursive min-label closure.",
+    tags=("ml", "clustering", "density", "graph", "iterative", "lsh"),
+)
+def ml_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6_spark.operators.graph import connected_components
+    from p6_spark.operators.similarity import lsh_candidate_vec_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 1000, 0).cast("long")
+    )
+    e = emb.select("vec_id", qv.alias("qv"))
+    cand = lsh_candidate_vec_pairs(emb)
+    d2 = F.aggregate(
+        F.zip_with(F.col("a.qv"), F.col("b.qv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    eedges = (
+        cand.join(e.select(F.col("vec_id").alias("id_a"), "qv").alias("a"), "id_a")
+        .join(e.select(F.col("vec_id").alias("id_b"), "qv").alias("b"), "id_b")
+        .filter(d2 <= _DB_EPS2)
+        .select("id_a", "id_b")
+        .localCheckpoint()  # feeds sym, core filter, and the CC subgraph
+    )
+    sym = eedges.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("w")
+    ).unionAll(eedges.select(F.col("id_b").alias("u"), F.col("id_a").alias("w")))
+    core = (
+        sym.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _DB_MINPTS)
+        .select(F.col("u").alias("vec_id"))
+        .localCheckpoint()
+    )
+    cce = eedges.join(
+        core.select(F.col("vec_id").alias("id_a")), "id_a", "left_semi"
+    ).join(core.select(F.col("vec_id").alias("id_b")), "id_b", "left_semi")
+    comp = connected_components(cce)
+    allcore = core.join(
+        comp.withColumnRenamed("node", "vec_id"), "vec_id", "left"
+    ).select(
+        "vec_id", F.coalesce("component", F.col("vec_id")).alias("component")
+    )
+    bord = (
+        sym.join(core.select(F.col("vec_id").alias("u")), "u", "left_anti")
+        .join(
+            allcore.select(
+                F.col("vec_id").alias("w"), F.col("component")
+            ),
+            "w",
+        )
+        .groupBy(F.col("u").alias("vec_id"))
+        .agg(F.min("component").alias("component"))
+        .localCheckpoint()
+    )
+    core_rows = allcore.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_points")
+    ).select("cluster_id", F.lit("core").alias("role"), "n_points")
+    bord_rows = bord.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_points")
+    ).select("cluster_id", F.lit("border").alias("role"), "n_points")
+    noise_rows = (
+        e.select("vec_id")
+        .join(core, "vec_id", "left_anti")
+        .join(bord.select("vec_id"), "vec_id", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .select(
+            F.lit(-1).cast("long").alias("cluster_id"),
+            F.lit("noise").alias("role"),
+            "n_points",
+        )
+    )
+    return core_rows.unionAll(bord_rows).unionAll(noise_rows).orderBy(
+        "cluster_id", "role"
+    )

@@ -166,7 +166,7 @@ def _sorted_neighborhood_pairs(spark, sf_dir):
 FAMILIES = {
     "minhash_lsh[dd_minhash_lsh_pairs,pipe_llm_corpus]": ("documents", _minhash_pairs),
     "simhash_blocks[dd_simhash_pairs]": ("documents", _simhash_pairs),
-    "embedding_lsh[dd_embedding_neardup,ml_dbscan_core]": (
+    "embedding_lsh[dd_embedding_neardup,ml_dbscan_core,ml_dbscan_clusters]": (
         "embeddings",
         _embedding_lsh_pairs,
     ),
