@@ -43,6 +43,15 @@ def iterative_names() -> list[str]:
         return json.load(f).get("iterative", [])
 
 
+def r6_names() -> list[str]:
+    """Third manifest section (appended round 6): the incremental-ingest
+    + composed-ANN family. Same contract as "iterative": timed in the
+    run, reported inside "queries" + an "r6_total" field; the frozen
+    headline "value" is untouched."""
+    with open(_MANIFEST) as f:
+        return json.load(f).get("r6", [])
+
+
 def family_of(name: str) -> str:
     """Bench family = registry prefix (dd_/txt_/sim_/mm_/pipe_/er_/ml_/
     p6_/q*). Keeps the --all report readable at 262 queries."""
@@ -70,7 +79,8 @@ def main() -> None:
     qs = get_queries()
     head = [n for n in headline_names() if n in qs]
     iters = [n for n in iterative_names() if n in qs and n not in head]
-    names = list(qs) if args.all else head + iters
+    r6 = [n for n in r6_names() if n in qs and n not in head and n not in iters]
+    names = list(qs) if args.all else head + iters + r6
     # Optional comma-separated subset for local iteration / regression
     # bisection (e.g. SPARK_GRAFT_BENCH_QUERIES=q01_pricing_summary,q06_...)
     only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
@@ -79,6 +89,7 @@ def main() -> None:
         names = [n for n in names if n in keep]
         head = [n for n in head if n in keep]
         iters = [n for n in iters if n in keep]
+        r6 = [n for n in r6 if n in keep]
 
     # Warmup: run every query once (untimed) so JVM startup +
     # WholeStageCodegen (Janino) compilation isn't billed to the timed
@@ -124,6 +135,8 @@ def main() -> None:
     }
     if not args.all and iters:
         out["iterative_total"] = round(sum(timings[n] for n in iters), 4)
+    if not args.all and r6:
+        out["r6_total"] = round(sum(timings[n] for n in r6), 4)
     if args.all:
         fams: dict[str, float] = {}
         for n, t in timings.items():

@@ -207,6 +207,39 @@ PICKS = {
         "quadratic the sf1.0 sweep caught is structurally impossible "
         "in this plan."
     ),
+    "dd_incremental_neardup": (
+        "Incremental ingest probe (round 6): the increment's bands "
+        "equi-join the CAPPED corpus band index — no corpus self-join "
+        "exists in the plan, so candidate volume is cap x bands x "
+        "increment rows regardless of corpus size; the exact-Jaccard "
+        "confirm touches only candidate pairs. At 100 TB the index is "
+        "a maintained table and each micro-increment pays only its own "
+        "probe."
+    ),
+    "sim_ivfpq_search": (
+        "IVF+PQ (round 6): both corpus passes (assign, code) are "
+        "map-side; the probe list and the 8x256-per-query ADC LUT "
+        "broadcast, so query-time scoring is one equi-join over the "
+        "probed lists' CODES — bytes-per-vector is the 8-code row, "
+        "never the 64 floats. Top-k is a query-partitioned window over "
+        "candidates only."
+    ),
+    "sim_hybrid_rrf": (
+        "RRF fusion (round 6): the dense leg broadcasts the 3-vector "
+        "query set against the streamed corpus; the lexical leg "
+        "broadcasts the query tokens onto the posting join so only "
+        "term-sharing docs are scored; fusion is a full-outer join of "
+        "two depth-bounded lists — constant rows per query from there "
+        "on, whatever the corpus size."
+    ),
+    "ml_dbscan_clusters": (
+        "Full DBSCAN (round 6): eps-edges come from the capped "
+        "adaptive-LSH candidate graph (O(n) pairs), the core-core "
+        "subgraph is localCheckpoint'ed once, CC is bounded-round "
+        "min-label propagation, and border attach is a single "
+        "aggregate over the symmetric edge list — no stage is "
+        "quadratic in corpus size."
+    ),
 }
 
 
