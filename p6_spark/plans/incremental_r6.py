@@ -203,3 +203,129 @@ def dd_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
     )
     return report
+
+
+# ---------------------------------------------------------------------------
+# Split-leakage audit: near-dup clusters must not straddle train/val/test
+# ---------------------------------------------------------------------------
+
+_SPLIT_SQL = (
+    "CASE WHEN (({k} * 2654435761) % 4294967296) % 100 < 90 THEN 'train' "
+    "WHEN (({k} * 2654435761) % 4294967296) % 100 < 95 THEN 'validation' "
+    "ELSE 'test' END"
+)
+
+
+@register(
+    "dd_split_leakage",
+    oracle=f"""
+WITH RECURSIVE {_sql_minhash_sig('TRUE')},
+bands AS (
+  SELECT doc_id, 0 AS band_idx, cast(h0 AS varchar) || '_' || cast(h1 AS varchar) AS band_val FROM sig
+  UNION ALL
+  SELECT doc_id, 1, cast(h2 AS varchar) || '_' || cast(h3 AS varchar) FROM sig
+  UNION ALL
+  SELECT doc_id, 2, cast(h4 AS varchar) || '_' || cast(h5 AS varchar) FROM sig
+  UNION ALL
+  SELECT doc_id, 3, cast(h6 AS varchar) || '_' || cast(h7 AS varchar) FROM sig
+),
+small_buckets AS MATERIALIZED (
+  SELECT band_idx, band_val FROM bands
+  GROUP BY 1, 2 HAVING count(*) <= 20
+),
+sb AS MATERIALIZED (
+  SELECT b.doc_id, b.band_idx, b.band_val
+  FROM bands b JOIN small_buckets USING (band_idx, band_val)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sb a JOIN sb b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT u AS node, u AS label FROM edges
+  UNION
+  SELECT e.u, r.label FROM edges e JOIN reach r ON r.node = e.v
+),
+comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+ms AS (
+  SELECT node AS doc_id, component,
+         {_SPLIT_SQL.format(k='node')} AS split,
+         {_SPLIT_SQL.format(k='component')} AS rep_split
+  FROM comp
+),
+per AS (
+  SELECT component, count(*) AS n_docs,
+         count(DISTINCT split) AS n_splits,
+         count(*) FILTER (WHERE split <> rep_split) AS n_move
+  FROM ms GROUP BY component
+)
+SELECT cast(count(*) AS bigint) AS n_clusters,
+       cast(count(*) FILTER (WHERE n_splits > 1) AS bigint) AS n_leaky_clusters,
+       cast(coalesce(sum(n_docs) FILTER (WHERE n_splits > 1), 0) AS bigint)
+         AS n_docs_in_leaky,
+       cast(coalesce(sum(n_move), 0) AS bigint) AS n_moved_by_repair,
+       cast(CASE WHEN count(*) = 0 THEN 0
+                 ELSE count(*) FILTER (WHERE n_splits > 1) * 1000000 // count(*)
+            END AS bigint) AS leak_rate_x1e6
+FROM per
+""",
+    doc="Split-leakage audit for training corpora: near-duplicate "
+    "clusters (connected components over the capped MinHash-LSH "
+    "candidate graph — dd_cc_clusters' exact clustering) are checked "
+    "against the deterministic 90/5/5 Knuth-hash split "
+    "(dd_hash_split's exact assignment). A cluster straddling splits "
+    "IS eval contamination: the model trains on a near-copy of a test "
+    "doc. Reports cluster count, leaky-cluster count and their doc "
+    "mass, the x1e6 leak rate, and n_moved_by_repair — the docs the "
+    "standard fix relocates (assign every member its cluster "
+    "REPRESENTATIVE's split, rep = min doc id = the component id, so "
+    "the repair is deterministic and needs no second pass). Scale: "
+    "the cluster stage is the certified capped-LSH CC; the audit "
+    "itself is two aggregates over (doc, component) rows.",
+    tags=("dedup", "split", "pipeline", "quality", "graph"),
+)
+def dd_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6_spark.operators import dedup as dd
+    from p6_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs)
+    pairs = dd.lsh_candidate_pairs(sigs, max_bucket=20)
+    cc = connected_components(pairs)
+
+    def _split(col):
+        b = (col * F.lit(2654435761)) % F.lit(4294967296) % F.lit(100)
+        return (
+            F.when(b < 90, "train").when(b < 95, "validation").otherwise("test")
+        )
+
+    ms = cc.select(
+        "component",
+        _split(F.col("node")).alias("split"),
+        _split(F.col("component")).alias("rep_split"),
+    )
+    per = ms.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("split").alias("n_splits"),
+        F.count(F.when(F.col("split") != F.col("rep_split"), 1)).alias("n_move"),
+    )
+    leaky = F.count(F.when(F.col("n_splits") > 1, 1))
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        leaky.cast("long").alias("n_leaky_clusters"),
+        F.coalesce(
+            F.sum(F.when(F.col("n_splits") > 1, F.col("n_docs"))), F.lit(0)
+        ).cast("long").alias("n_docs_in_leaky"),
+        F.coalesce(F.sum("n_move"), F.lit(0)).cast("long").alias("n_moved_by_repair"),
+        F.expr(
+            "cast(CASE WHEN count(1) = 0 THEN 0"
+            " ELSE count(CASE WHEN n_splits > 1 THEN 1 END)"
+            " * cast(1000000 as bigint) div count(1) END as bigint)"
+        ).alias("leak_rate_x1e6"),
+    )
