@@ -329,3 +329,200 @@ def dd_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * cast(1000000 as bigint) div count(1) END as bigint)"
         ).alias("leak_rate_x1e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end incremental ingest funnel (the production shape, one query)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipe_incremental_ingest",
+    oracle=f"""
+WITH {_sql_minhash_sig('TRUE')},
+base AS (
+  SELECT doc_id, md5(text) AS content_md5,
+         length(text) AS n_chars_m,
+         len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_tokens,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+         len(list_filter(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
+             x -> list_contains(['the','a','value','table','row'], lower(x)))) AS n_stop
+  FROM documents WHERE doc_id % 4 = 0
+),
+gated AS MATERIALIZED (
+  SELECT doc_id, content_md5 FROM base
+  WHERE n_tokens >= 5 AND n_digit * 10 <= n_chars_m * 3 AND n_stop * 20 >= n_tokens
+),
+cmd5 AS (SELECT DISTINCT md5(text) AS content_md5 FROM documents WHERE doc_id % 4 <> 0),
+keep_min AS (
+  SELECT min(doc_id) AS doc_id, content_md5 FROM gated GROUP BY content_md5
+),
+s2 AS MATERIALIZED (
+  SELECT doc_id FROM keep_min
+  WHERE content_md5 NOT IN (SELECT content_md5 FROM cmd5)
+),
+bands AS (
+  SELECT doc_id, doc_id % 4 = 0 AS is_batch, band_idx, band_val
+  FROM (
+    SELECT doc_id, 0 AS band_idx, cast(h0 AS varchar) || '_' || cast(h1 AS varchar) AS band_val FROM sig
+    UNION ALL
+    SELECT doc_id, 1, cast(h2 AS varchar) || '_' || cast(h3 AS varchar) FROM sig
+    UNION ALL
+    SELECT doc_id, 2, cast(h4 AS varchar) || '_' || cast(h5 AS varchar) FROM sig
+    UNION ALL
+    SELECT doc_id, 3, cast(h6 AS varchar) || '_' || cast(h7 AS varchar) FROM sig
+  )
+),
+corpus_small AS MATERIALIZED (
+  SELECT band_idx, band_val FROM bands WHERE NOT is_batch
+  GROUP BY band_idx, band_val HAVING count(*) <= {_CAP}
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT b.doc_id AS b_id, c.doc_id AS c_id
+  FROM (SELECT bb.* FROM bands bb JOIN s2 ON s2.doc_id = bb.doc_id) b
+  JOIN (SELECT bb.* FROM bands bb JOIN corpus_small USING (band_idx, band_val)
+        WHERE NOT bb.is_batch) c
+    USING (band_idx, band_val)
+),
+tlists AS MATERIALIZED (
+  SELECT doc_id, list(tok) AS tl, cast(count(*) AS bigint) AS n_tok
+  FROM toks GROUP BY doc_id
+),
+matches AS MATERIALIZED (
+  SELECT DISTINCT b_id FROM (
+    SELECT cand.b_id,
+           cast(len(list_intersect(a.tl, b.tl)) AS bigint) AS n_common,
+           a.n_tok AS n_a, b.n_tok AS n_b
+    FROM cand
+    JOIN tlists a ON a.doc_id = cand.b_id
+    JOIN tlists b ON b.doc_id = cand.c_id
+  ) WHERE (n_common * 1000000) // (n_a + n_b - n_common) >= {_TAU_X1E6}
+),
+s3 AS (SELECT doc_id FROM s2 WHERE doc_id NOT IN (SELECT b_id FROM matches))
+SELECT stage, n_in, n_in - n_out AS n_dropped, n_out FROM (
+  SELECT '1_gate' AS stage,
+         (SELECT cast(count(*) AS bigint) FROM base) AS n_in,
+         (SELECT cast(count(*) AS bigint) FROM gated) AS n_out
+  UNION ALL
+  SELECT '2_exact',
+         (SELECT cast(count(*) AS bigint) FROM gated),
+         (SELECT cast(count(*) AS bigint) FROM s2)
+  UNION ALL
+  SELECT '3_neardup',
+         (SELECT cast(count(*) AS bigint) FROM s2),
+         (SELECT cast(count(*) AS bigint) FROM s3)
+)
+ORDER BY stage
+""",
+    doc="End-to-end incremental ingest funnel — the production shape as "
+    "ONE query: the new 25% increment passes (1) the exact-integer "
+    "quality gate shared with the streaming ingest "
+    "(streaming/corpus.ingest_filter), (2) exact dedup — min-doc-id "
+    "representative per content hash within the batch, then an "
+    "anti-join against the EXISTING corpus's hash set, (3) the capped "
+    "banded-minhash near-dup probe with exact-Jaccard confirm "
+    "(dd_incremental_neardup's candidate discipline, tau=0.5). Emits "
+    "the 3-row (stage, n_in, n_dropped, n_out) funnel an ingest run "
+    "logs. Every stage is corpus-probe shaped (anti-join / capped "
+    "index probe), so the increment never self-joins and the work is "
+    "linear in the increment at any corpus size.",
+    tags=("pipeline", "incremental", "dedup", "lsh", "quality"),
+)
+def pipe_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6_spark.operators import dedup as dd
+    from p6_spark.streaming.corpus import ingest_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % 4 == 0
+    batch = docs.filter(is_batch)
+    corpus = docs.filter(~is_batch)
+
+    gated = ingest_filter(batch).select("doc_id", "content_md5").localCheckpoint()
+    keep_min = gated.groupBy("content_md5").agg(F.min("doc_id").alias("doc_id"))
+    cmd5 = corpus.select(F.md5("text").alias("content_md5")).distinct()
+    s2 = keep_min.join(cmd5, "content_md5", "left_anti").select("doc_id").localCheckpoint()
+
+    sigs = dd.minhash_signatures(docs)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    "_",
+                    F.col(f"h{2 * b}").cast("string"),
+                    F.col(f"h{2 * b + 1}").cast("string"),
+                ).alias("band_val"),
+            )
+            for b in range(4)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", is_batch.alias("is_batch"), F.explode(bands).alias("band")
+    ).select("doc_id", "is_batch", "band.band_idx", "band.band_val").localCheckpoint()
+    corpus_small = (
+        banded.filter(~F.col("is_batch"))
+        .groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter(F.col("bn") <= _CAP)
+        .select("band_idx", "band_val")
+    )
+    corpus_b = banded.filter(~F.col("is_batch")).join(
+        corpus_small, ["band_idx", "band_val"]
+    )
+    cand = (
+        banded.join(s2, "doc_id", "left_semi")
+        .select("band_idx", "band_val", F.col("doc_id").alias("b_id"))
+        .join(
+            corpus_b.select("band_idx", "band_val", F.col("doc_id").alias("c_id")),
+            ["band_idx", "band_val"],
+        )
+        .select("b_id", "c_id")
+        .distinct()
+    )
+    toks = dd.distinct_tokens(docs, "doc_id", "text").localCheckpoint()
+    tsz = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    inter = (
+        cand.join(toks.select(F.col("doc_id").alias("b_id"), "tok"), "b_id")
+        .join(toks.select(F.col("doc_id").alias("c_id"), "tok"), ["c_id", "tok"])
+        .groupBy("b_id", "c_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    matches = (
+        inter.join(
+            tsz.select(F.col("doc_id").alias("b_id"), F.col("n_tok").alias("n_a")),
+            "b_id",
+        )
+        .join(
+            tsz.select(F.col("doc_id").alias("c_id"), F.col("n_tok").alias("n_b")),
+            "c_id",
+        )
+        .filter(
+            F.expr("(n_common * cast(1000000 as bigint)) div (n_a + n_b - n_common)")
+            >= _TAU_X1E6
+        )
+        .select("b_id")
+        .distinct()
+    )
+    s3 = s2.join(matches.withColumnRenamed("b_id", "doc_id"), "doc_id", "left_anti")
+
+    def _n(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias(name))
+
+    def _row(stage: str, df_in: DataFrame, in_n: str, df_out: DataFrame, out_n: str):
+        return (
+            _n(df_in, in_n)
+            .crossJoin(_n(df_out, out_n))
+            .select(
+                F.lit(stage).alias("stage"),
+                F.col(in_n).alias("n_in"),
+                (F.col(in_n) - F.col(out_n)).alias("n_dropped"),
+                F.col(out_n).alias("n_out"),
+            )
+        )
+
+    return (
+        _row("1_gate", batch, "a", gated, "b")
+        .unionAll(_row("2_exact", gated, "c", s2, "d"))
+        .unionAll(_row("3_neardup", s2, "e", s3, "f"))
+        .orderBy("stage")
+    )
