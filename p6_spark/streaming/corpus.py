@@ -209,3 +209,71 @@ def incremental_probe_stream(
             (jac >= F.lit(tau_x1e6)).alias("is_match"),
         )
     )
+
+
+def incremental_ingest_sink(
+    batch_stream: DataFrame,
+    corpus: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    tau_x1e6: int = _PROBE_TAU_X1E6,
+):
+    """The FULL ingest funnel as a stream (batch twin:
+    plans/incremental_r6.pipe_incremental_ingest): the quality gate and
+    the cross-increment exact dedup run as pure streaming stages (per-row
+    exprs + dropDuplicates keyed on content_md5 — state is one hash per
+    accepted doc, the same corpus-bounded discipline as
+    corpus_ingest_stream); then each micro-batch runs the two
+    corpus-probe stages INSIDE foreachBatch, where the increment is a
+    plain DataFrame — the corpus-hash anti-join and the near-dup probe's
+    "no confirmed match" decision are batch-local aggregates there, which
+    is exactly why production funnels put them in the sink stage.
+    Increment-vs-corpus only, by design: increments are not near-deduped
+    against EACH OTHER until the corpus index is next refreshed.
+
+    Accepted rows (doc_id, content_md5) append to ``out_dir`` parquet.
+    Returns the StreamingQuery (caller awaits termination)."""
+    from p6_spark.operators.text import STOPWORDS, tokens
+
+    # the gate predicate inline (ingest_filter's exact integer rules) —
+    # a semi-join back to ingest_filter would be stream-stream, illegal
+    toks = tokens(F.col("text"))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_tokens = F.size(toks).cast("long")
+    n_digit = F.length(F.regexp_replace("text", r"[^0-9]", "")).cast("long")
+    n_stop = (
+        F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+        .cast("long")
+    )
+    gated = (
+        batch_stream.filter(
+            (n_tokens >= 5)
+            & (n_digit * 10 <= F.length("text").cast("long") * 3)
+            & (n_stop * 20 >= n_tokens)
+        )
+        .select("doc_id", "text", F.md5("text").alias("content_md5"))
+        .dropDuplicates(["content_md5"])
+    )
+    # static corpus derivatives, built ONCE and reused by every batch
+    cmd5 = (
+        corpus.select(F.md5("text").alias("content_md5")).distinct().localCheckpoint()
+    )
+    corpus_c = corpus.localCheckpoint()
+
+    def _handle(bdf: DataFrame, epoch_id: int) -> None:
+        s2 = bdf.join(cmd5, "content_md5", "left_anti").localCheckpoint()
+        matched = (
+            incremental_probe_stream(s2.select("doc_id", "text"), corpus_c, tau_x1e6)
+            .filter(F.col("is_match"))
+            .select(F.col("b_id").alias("doc_id"))
+            .distinct()
+        )
+        accepted = s2.join(matched, "doc_id", "left_anti")
+        accepted.select("doc_id", "content_md5").write.mode("append").parquet(out_dir)
+
+    return (
+        gated.writeStream.foreachBatch(_handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -86,3 +86,50 @@ def test_probe_jaccard_is_exact(spark):
         assert bool(r["is_match"]) is True
     # the disjoint doc can never confirm
     assert all(not r["is_match"] for r in rows if r["b_id"] == 8)
+
+
+def test_incremental_ingest_sink_equals_batch_funnel(spark, sf_dir, tmp_path):
+    from p6_spark.plans.registry import QUERIES, get_queries
+    from p6_spark.streaming.corpus import incremental_ingest_sink
+
+    get_queries()
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(~_is_batch())
+    out, ckpt = str(tmp_path / "accepted"), str(tmp_path / "ckpt")
+    q = incremental_ingest_sink(
+        read_documents_stream(spark, sf_dir).filter(_is_batch()), corpus, out, ckpt
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out).collect()
+    got_md5 = {r["content_md5"] for r in got}
+    # one accepted row per content (the stream dedup held across batches)
+    assert len(got) == len(got_md5) > 0
+
+    # count parity with the registered batch funnel's final stage
+    funnel = {
+        r["stage"]: r
+        for r in QUERIES["pipe_incremental_ingest"].build(spark, sf_dir).collect()
+    }
+    assert len(got) == funnel["3_neardup"]["n_out"]
+
+    # content parity: rebuild the batch survivors' md5 set stage by stage
+    # (representatives may differ — stream keeps first-seen, batch keeps
+    # min doc_id — but identical text means identical probe decisions,
+    # so the accepted CONTENT set must match exactly)
+    from p6_spark.streaming.corpus import ingest_filter
+
+    batch = docs.filter(_is_batch())
+    gated = ingest_filter(batch).select("doc_id", "content_md5")
+    keep = gated.groupBy("content_md5").agg(F.min("doc_id").alias("doc_id"))
+    cmd5 = corpus.select(F.md5("text").alias("content_md5")).distinct()
+    s2 = keep.join(cmd5, "content_md5", "left_anti")
+    s2_docs = s2.join(docs.select("doc_id", "text"), "doc_id")
+    matched = (
+        incremental_probe_stream(s2_docs, corpus)
+        .filter(F.col("is_match"))
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+    )
+    s3 = s2_docs.join(matched, "doc_id", "left_anti")
+    want_md5 = {r["content_md5"] for r in s3.select("content_md5").collect()}
+    assert got_md5 == want_md5
