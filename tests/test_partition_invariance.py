@@ -82,6 +82,15 @@ INVARIANT_QUERIES = [
     "q_kmv_setops",             # KMV union/intersection estimators
     "dd_span_provenance",       # first-seen shingle provenance
     "q_window_funnel",          # staged conditional-min funnel depths
+    # round-6 incremental/ANN session batch
+    "dd_incremental_neardup",   # capped probe join + integer Jaccard
+    "sim_ivfpq_search",         # fixed-point coarse + integer ADC LUT
+    "sim_hybrid_rrf",           # rank-only fusion over total orders
+    "sim_ranker_agreement",     # integer tau over tie-free ranks
+    "sim_ivf_incremental",      # frozen-centroid assign + trunc-div means
+    "ml_dbscan_clusters",       # min-label CC + min-component borders
+    "dd_split_leakage",         # CC + Knuth-hash split aggregates
+    "pipe_incremental_ingest",  # three-stage funnel counts
 ]
 
 
