@@ -71,6 +71,11 @@ def main() -> None:
     ap.add_argument(
         "--runs", type=int, default=3, help="timed runs per query (min is kept)"
     )
+    ap.add_argument(
+        "--out",
+        default=None,
+        help="file to write the full JSON line to (default benchdata/bench_last.json)",
+    )
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -142,7 +147,20 @@ def main() -> None:
         for n, t in timings.items():
             fams[family_of(n)] = round(fams.get(family_of(n), 0.0) + t, 4)
         out["families"] = dict(sorted(fams.items()))
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # Also persist the full JSON to a file: the driver records only the
+    # tail of stdout, which front-truncated BENCH_r06.json past parsing
+    # (r6 verdict "what's missing" #2). The file is the lossless copy.
+    out_path = args.out or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "benchdata", "bench_last.json"
+    )
+    try:
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+    except OSError as e:
+        print(f"bench.py: could not write {out_path}: {e}", file=sys.stderr)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -4,7 +4,7 @@ Four tiers, cheapest first — the standard 100 TB dedup funnel:
 
 1. exact         — md5(text) groupBy: one shuffle on the 16-byte digest,
                    never on the document body.
-2. simhash       — 16-bit signature per doc; near-dups share signatures.
+2. simhash       — 62-bit signature per doc; near-dups share signatures.
                    Linear scan, no pairwise work.
 3. minhash + LSH — banded minhash signatures; candidate pairs come from
                    a self-join on (band_idx, band_hash) buckets, so the
@@ -126,28 +126,56 @@ def lsh_candidate_pairs(
     )
 
 
-def simhash16(text: Column) -> Column:
-    """16-bit SimHash over distinct tokens: bit b of the signature is set
-    iff sum over tokens of sign((md5_int(token) >> b) & 1) is positive.
-    Pure integer expressions — a linear scan, no pairwise work."""
-    def vote_fn(bit: int):
+def simhash62(text: Column) -> Column:
+    """62-bit SimHash over distinct tokens: bit b of the signature is set
+    iff sum over tokens of sign((h >> b) & 1) is positive, where h is
+    ``md5_int(token)`` for bits 0..30 and ``md5_int('s1_' || token)``
+    for bits 31..61 (md5_int yields 32 usable bits; two independent
+    md5 draws cover 62). Pure integer expressions — a linear scan, no
+    pairwise work.
+
+    .. versionchanged:: round 7
+       Widened from 16 bits. A 16-bit signature blocked into two
+       8-bit halves has 512 buckets TOTAL — the same fixed-cardinality
+       recall cliff as the old 16-plane LSH clamp: past ~20 x 512
+       ≈ 10k documents the bucket cap drops essentially every bucket
+       and Hamming-pair recall collapses to zero (caught by the
+       planted-duplicate gate in tests/test_lsh_recall.py). 62 bits
+       split into two 31-bit pigeonhole blocks give 2^31 values per
+       block; block-value entropy now tracks content diversity, so
+       occupancy stays flat at any corpus size. 62 (not 64) keeps the
+       packed signature and both block values strictly positive in a
+       SIGNED bigint in both engines — no sign-extension mismatch in
+       shifts or division."""
+    def vote_fn(field: str, bit: int):
         return lambda acc, h: acc + F.when(
-            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
+            F.shiftright(h[field], bit).bitwiseAND(F.lit(1)) == 1, 1
         ).otherwise(-1)
 
-    # Bind the md5 array once (transform(array(...), hs -> ...)[0]): the
-    # 16 per-bit folds below each reference the bound lambda var instead
-    # of re-tokenizing and re-hashing every token 16 times.
+    # Bind the md5 struct array once (transform(array(...), hs -> ...)[0]):
+    # the 62 per-bit folds below each reference the bound lambda var
+    # instead of re-tokenizing and re-hashing every token 62 times.
     def fold_bits(hashes: Column) -> Column:
         sig = F.lit(0).cast("long")
-        for b in range(16):
-            vote = F.aggregate(hashes, F.lit(0).cast("long"), vote_fn(b))
+        for b in range(31):
+            vote = F.aggregate(hashes, F.lit(0).cast("long"), vote_fn("h0", b))
             sig = sig + F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(
                 F.lit(0).cast("long")
             )
+        for b in range(31):
+            vote = F.aggregate(hashes, F.lit(0).cast("long"), vote_fn("h1", b))
+            sig = sig + F.when(
+                vote > 0, F.lit(1 << (31 + b)).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
         return sig
 
-    hashes = F.transform(F.array_distinct(tokens(text)), lambda t: md5_int(t))
+    hashes = F.transform(
+        F.array_distinct(tokens(text)),
+        lambda t: F.struct(
+            md5_int(t).alias("h0"),
+            md5_int(F.concat(F.lit("s1_"), t)).alias("h1"),
+        ),
+    )
     return F.element_at(F.transform(F.array(hashes), fold_bits), 1)
 
 

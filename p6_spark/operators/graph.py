@@ -24,12 +24,14 @@ pins the cut lineage to executor-local block storage, which is the
 right call in local mode and on short jobs, but the blocks die with the
 executor — on a 1000-executor / 100 TB run a single executor loss would
 fail the job instead of recomputing. There, set a checkpoint dir
-(``spark.sparkContext.setCheckpointDir('hdfs://...')``) and swap in
-reliable ``DataFrame.checkpoint()`` — same semantics, blocks land on
-HDFS/object storage and survive executor churn, at the cost of one
-write+read round-trip per round. The operators keep ``localCheckpoint``
-as the default because the harness runs single-JVM; the swap is a
-one-word change at each call site.
+(``spark.sparkContext.setCheckpointDir('hdfs://...')``) and set
+``P6_SPARK_RELIABLE_CHECKPOINT=1``: every lineage cut in this module
+goes through ``_materialize``, which swaps in reliable
+``DataFrame.checkpoint()`` — same semantics, blocks land on HDFS/object
+storage and survive executor churn, at the cost of one write+read
+round-trip per round. ``localCheckpoint`` stays the default because the
+harness runs single-JVM; the reliable mode is smoke-tested
+(tests/test_graph.py) so the swap can't bit-rot.
 
 Not SQL-expressible in one query (recursive), so the registry entry is
 rows-only; correctness is pinned by tests against a driver-side
@@ -38,8 +40,21 @@ union-find on the same edges.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Lineage cut for the iterative loops in this module:
+    ``localCheckpoint`` by default (single-JVM / short jobs); with
+    ``P6_SPARK_RELIABLE_CHECKPOINT=1`` and a configured checkpoint dir,
+    reliable ``checkpoint()`` instead — see the module docstring's
+    cluster-deployment note."""
+    if os.environ.get("P6_SPARK_RELIABLE_CHECKPOINT") == "1":
+        return df.checkpoint()
+    return df.localCheckpoint()
 
 
 def connected_components(
@@ -50,11 +65,10 @@ def connected_components(
 ) -> DataFrame:
     """(node, component) for every node appearing in `edges`; the
     component id is the smallest node id in the component."""
-    sym = (
+    sym = _materialize(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .localCheckpoint()
     )
     labels = (
         sym.select(F.col("u").alias("node"))
@@ -75,8 +89,8 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()  # truncate lineage each round
         )
+        new_labels = _materialize(new_labels)  # truncate lineage each round
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
@@ -130,12 +144,11 @@ def pagerank_fixed(
     # the degree/node derivations reuse it, instead of re-running the
     # upstream joins per round (the iterative-Spark lineage trap —
     # same localCheckpoint pattern as connected_components)
-    e = edges.select(F.col("src"), F.col("dst")).distinct().localCheckpoint()
-    nodes = (
+    e = _materialize(edges.select(F.col("src"), F.col("dst")).distinct())
+    nodes = _materialize(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
     )
     nn = nodes.agg(F.count(F.lit(1)).cast("long").alias("n"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
@@ -159,10 +172,10 @@ def pagerank_fixed(
                     + F.expr("(85 * coalesce(s, 0L)) div 100")
                 ).alias("rank"),
             )
-            # materialize each round once: without this, round k's lazy
-            # lineage re-executes every earlier round on each reference
-            .localCheckpoint()
         )
+        # materialize each round once: without this, round k's lazy
+        # lineage re-executes every earlier round on each reference
+        ranks = _materialize(ranks)
     return ranks
 
 
@@ -195,17 +208,14 @@ def bfs_hops(
     symmetrized copy, the win that matters when the edge list is the
     biggest thing in the job.
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
-    nodes = (
+    e = _materialize(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
+    nodes = _materialize(
         e.select(F.col("a").alias("node"))
         .union(e.select(F.col("b").alias("node")))
         .distinct()
-        .localCheckpoint()
     )
-    reached = (
-        nodes.filter(F.col("node") % seed_mod == 0)
-        .withColumn("hop", F.lit(0))
-        .localCheckpoint()
+    reached = _materialize(
+        nodes.filter(F.col("node") % seed_mod == 0).withColumn("hop", F.lit(0))
     )
     frontier = reached.select("node")
     for k in range(1, max_hops + 1):
@@ -215,15 +225,14 @@ def bfs_hops(
         bwd = e.join(frontier.withColumnRenamed("node", "b"), "b").select(
             F.col("a").alias("node")
         )
-        discovered = (
+        discovered = _materialize(
             fwd.union(bwd)
             .distinct()
             .join(reached.select("node"), "node", "left_anti")
             .withColumn("hop", F.lit(k))
-            .localCheckpoint()
         )
         if discovered.isEmpty():
             break
-        reached = reached.union(discovered).localCheckpoint()
+        reached = _materialize(reached.union(discovered))
         frontier = discovered.select("node")
     return nodes.join(reached, "node", "left").select("node", "hop")

@@ -93,7 +93,11 @@ def two_phase_rank(
     stay GLOBAL (one min/max, not per group): buckets are order-monotone
     within every group, which is all phases 2-3 need. The per-bucket
     summary grows to ``buckets`` x |g| rows and is broadcast — keep |g|
-    small (<= thousands).
+    small (<= thousands). Group keys must be NON-NULL, enforced with the
+    same raise_error guard as ``range_expr``: the offset join back is a
+    null-unsafe equi-join on the group key, so a NULL key would silently
+    drop the row instead of ranking it (ADVICE r6) — coalesce nullable
+    group keys explicitly and own the placement.
     """
     order = list(order)
     pcols = list(partition_cols)
@@ -130,6 +134,22 @@ def two_phase_rank(
         .withColumn("_tpr_bkt", bkt)
         .drop("_tpr_lo", "_tpr_hi")
     )
+    for g in pcols:
+        # same loud-failure rule as range_expr: the offset equi-join on
+        # the group key never matches NULL, which would silently drop
+        # the row; value is unchanged when non-null
+        part = part.withColumn(
+            g,
+            F.when(F.col(g).isNotNull(), F.col(g)).otherwise(
+                F.raise_error(
+                    F.lit(
+                        f"two_phase_rank: partition_cols key '{g}' is NULL "
+                        "— the offset equi-join would silently drop this "
+                        "row; coalesce nulls explicitly before ranking"
+                    )
+                )
+            ),
+        )
     wloc = W.partitionBy("_tpr_bkt", *pcols).orderBy(*order)
     wrun = wloc.rowsBetween(W.unboundedPreceding, W.currentRow)
     local = part.withColumn("_tpr_rn", F.row_number().over(wloc))

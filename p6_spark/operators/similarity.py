@@ -98,7 +98,12 @@ def _plane_signs(plane: int, table: int, dims: int = 256) -> list[float]:
 
 
 def _signature_sql(
-    vec_sql: str, num_planes: int, table: int, dims: int = 256
+    vec_sql: str,
+    num_planes: int,
+    table: int,
+    dims: int = 256,
+    planes_sql: str | None = None,
+    min_planes: int = 8,
 ) -> str:
     """The whole bit-packed signature as ONE SQL string. Plan
     construction cost was the round-4 finding: the original per-dim
@@ -106,6 +111,16 @@ def _signature_sql(
     BEFORE any data moved (8192 lit calls + 64 lambda registrations).
     A single parsed expression per table costs one py4j call; the
     physical plan is identical.
+
+    ``planes_sql``: optional SQL expression (a column name) holding the
+    RUNTIME plane count. Plane terms at index >= ``min_planes`` are
+    wrapped in ``case when p < planes then ... else 0 end`` — CASE
+    branches evaluate lazily in both Spark codegen and DuckDB, so a
+    corpus that only needs 10 planes pays for 10 dot products per
+    (row, table), not ``num_planes``. Bits at or above the runtime
+    plane count are zero BY CONSTRUCTION (not masked after the fact),
+    which is bit-identical to computing the narrower signature because
+    bit p depends only on hyperplane p.
 
     The sign vectors are precomputed to `dims` components; a vector
     LONGER than that would be silently truncated by the slice (and the
@@ -115,13 +130,16 @@ def _signature_sql(
     parts = []
     for p in range(num_planes):
         signs = ",".join(f"{s:.1f}D" for s in _plane_signs(p, table, dims))
-        parts.append(
+        term = (
             f"(case when aggregate(zip_with("
             f"transform({vec_sql}, x -> cast(x as double)), "
             f"slice(array({signs}), 1, size({vec_sql})), "
             f"(x, s) -> x * s), 0.0D, (acc, v) -> acc + v) > 0 "
             f"then {1 << p}L else 0L end)"
         )
+        if planes_sql is not None and p >= min_planes:
+            term = f"(case when {p} < {planes_sql} then {term} else 0L end)"
+        parts.append(term)
     guard = (
         f"case when size({vec_sql}) > {dims} then "
         f"cast(raise_error(concat('lsh_signature: embedding dim ', "
@@ -132,23 +150,33 @@ def _signature_sql(
 
 
 def lsh_signature(
-    vec_col: str, num_planes: int = 8, table: int = 0, dims: int = 256
+    vec_col: str,
+    num_planes: int = 8,
+    table: int = 0,
+    dims: int = 256,
+    planes_col: str | None = None,
 ) -> Column:
     """Bit-packed random-hyperplane signature of an embedding (plane
     sign vectors precomputed driver-side, whole signature parsed as one
     SQL expression; see _plane_signs/_signature_sql). Accepts a column
     NAME only: a Column object has no stable SQL rendering (and the
     private `_jc` escape hatch does not exist under Spark Connect), so
-    anything else raises instead of interpolating wrong SQL."""
+    anything else raises instead of interpolating wrong SQL.
+
+    ``planes_col``: optional column NAME holding the runtime plane
+    count — plane terms at index >= 8 short-circuit to 0 when their
+    index is at or above it (see _signature_sql)."""
     if not isinstance(vec_col, str):
         raise TypeError(
             "lsh_signature requires a column NAME (str); Column objects "
             "have no engine-portable SQL rendering"
         )
-    return F.expr(_signature_sql(vec_col, num_planes, table, dims))
+    return F.expr(
+        _signature_sql(vec_col, num_planes, table, dims, planes_sql=planes_col)
+    )
 
 
-def adaptive_planes(n: Column, min_planes: int = 8, max_planes: int = 16) -> Column:
+def adaptive_planes(n: Column, min_planes: int = 8, max_planes: int = 48) -> Column:
     """Signature width (number of hyperplanes) as a function of corpus
     size: ``least(max, greatest(min, ceil(log2(n)) - 1))`` — targets a
     constant expected bucket occupancy of ~2 rows, so candidate-pair
@@ -160,7 +188,21 @@ def adaptive_planes(n: Column, min_planes: int = 8, max_planes: int = 16) -> Col
     quadratically. Widening the signature with log2(n) keeps occupancy
     flat at any scale — the same planes-scale-with-corpus discipline a
     production ANN index applies. log2 of exact powers of two is exact
-    in IEEE doubles, so the width is bit-identical across engines."""
+    in IEEE doubles, so the width is bit-identical across engines.
+
+    .. versionchanged:: round 7
+       ``max_planes`` raised 16 -> 48. The 16-plane clamp was a silent
+       RECALL cliff (round-6 verdict finding 1): past ~20 * 2^16 ≈ 1.3M
+       vectors the ``max_bucket`` cap started dropping essentially every
+       uniformly-filled bucket, collapsing candidate recall to zero at
+       exactly the corpus sizes LSH blocking exists for. 48 planes push
+       that ceiling past 5e15 vectors; the runtime-conditional plane
+       evaluation in _signature_sql keeps the COMPUTE at
+       ceil(log2(n))-1 dot products per (row, table), so small corpora
+       pay nothing for the headroom. Guarded by the planted-duplicate
+       recall gate (tests/test_lsh_recall.py), which proves the old
+       16-plane clamp loses the duplicates at n=5M and this design
+       keeps them."""
     return F.least(
         F.lit(max_planes),
         F.greatest(F.lit(min_planes), F.ceil(F.log2(n)).cast("int") - F.lit(1)),
@@ -172,7 +214,7 @@ def lsh_candidate_vec_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_tables: int = 4,
-    max_planes: int = 16,
+    max_planes: int = 48,
     max_bucket: int = 20,
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b, distinct) of embeddings that share
@@ -181,30 +223,46 @@ def lsh_candidate_vec_pairs(
     embedding near-dedup and density labeling.
 
     Scale shape (every piece certified in the DuckDB twin):
-    - One ``max_planes``-bit signature per (row, table); bit p of the
-      signature depends only on hyperplane p, so masking to the lower
-      ``adaptive_planes(n)`` bits IS the narrower signature — one
-      computation serves every corpus size.
-    - The corpus count attaches as a broadcast 1-row aggregate; the
-      bucket id is ``sig & (2^planes - 1)``.
+    - One signature per (row, table) whose EFFECTIVE width is
+      ``adaptive_planes(n)``: bit p depends only on hyperplane p, and
+      plane terms at or above the runtime width short-circuit to 0
+      inside the expression (_signature_sql planes_sql), so the bucket
+      id IS the adaptive-width signature — no post-hoc mask, and no
+      paying for ``max_planes`` dot products when log2(n) is small.
+    - The corpus count attaches as a broadcast 1-row aggregate.
     - Buckets larger than ``max_bucket`` are dropped BEFORE the
       self-join (non-discriminative mass — the lsh_candidate_pairs
       discipline), bounding pairs at ``max_bucket`` x corpus even if
       the data is degenerate; adaptive width keeps the expected bucket
       at ~2 rows so the cap rarely binds on real data.
     Together: candidate pairs grow O(n) by construction (measured
-    sf0.001 -> sf0.1: 4x rows -> 4.46x pairs; see BENCH_NOTES round 6).
+    sf0.001 -> sf0.1: 4x rows -> 4.46x pairs; see BENCH_NOTES round 6),
+    and — since round 7's 48-plane ceiling — candidate RECALL no longer
+    collapses past ~1.3M vectors (tests/test_lsh_recall.py plants exact
+    duplicates in a 5M-vector corpus and measures it).
+
+    Plan-size note: the hyperplane sign literals are sized to the
+    corpus's ACTUAL vector dimension, probed with a 1-row action at
+    build time (48 planes x 4 tables x 256 default components was
+    ~300KB of expression text — Catalyst analysis alone cost ~5s per
+    build; probing the real 64-dim data cuts it 4x). Rows longer than
+    the probed dimension still fail loudly via the raise_error guard
+    in _signature_sql.
     """
+    probe = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    dims = int(probe["d"]) if probe and probe["d"] is not None else 256
     n1 = corpus.agg(F.count(F.lit(1)).alias("_lsh_n"))
-    planes = adaptive_planes(F.col("_lsh_n"), max_planes=max_planes)
-    mask = F.pow(F.lit(2.0), planes.cast("double")).cast("long") - F.lit(1)
     sigs = F.array(
-        *[lsh_signature(vec_col, max_planes, t) for t in range(num_tables)]
+        *[
+            lsh_signature(vec_col, max_planes, t, dims=dims, planes_col="_lsh_np")
+            for t in range(num_tables)
+        ]
     )
     b = (
-        corpus.select(F.col(id_col).alias("vid"), F.posexplode(sigs).alias("tbl", "sig"))
+        corpus.select(F.col(id_col).alias("vid"), F.col(vec_col))
         .crossJoin(F.broadcast(n1))
-        .select("vid", "tbl", F.col("sig").bitwiseAND(mask).alias("bkt"))
+        .withColumn("_lsh_np", adaptive_planes(F.col("_lsh_n"), max_planes=max_planes))
+        .select("vid", F.posexplode(sigs).alias("tbl", "bkt"))
     )
     # bucket-size cap via a PARTITIONED window (one shuffle, no second
     # evaluation of the signature subtree the way a groupBy+join back
@@ -234,7 +292,7 @@ def lsh_blocked_neardup_pairs(
     vec_col: str = "embedding",
     min_cos: float = 0.3,
     num_tables: int = 4,
-    max_planes: int = 16,
+    max_planes: int = 48,
     max_bucket: int = 20,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: exact cosine over the

@@ -87,7 +87,10 @@ def ml_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding", lambda x: F.round(x.cast("double") * 1000, 0).cast("long")
     )
     e = emb.select("vec_id", "label", qv.alias("qv"))
-    cand = lsh_candidate_vec_pairs(emb)
+    # the sym union below references cand TWICE — without a lineage cut
+    # the whole 4-table signature + bucket-cap subtree executes twice
+    # (r6 verdict finding 2; ml_dbscan_clusters applies the same cut)
+    cand = lsh_candidate_vec_pairs(emb).localCheckpoint()
     sym = cand.select(
         F.col("id_a").alias("u"), F.col("id_b").alias("w")
     ).unionAll(cand.select(F.col("id_b").alias("u"), F.col("id_a").alias("w")))

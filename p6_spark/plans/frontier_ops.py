@@ -96,20 +96,30 @@ def q_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _sql_simhash_all(num_bits: int = 16) -> str:
+def _sql_simhash_all() -> str:
+    """DuckDB twin of operators/dedup.simhash62 over the WHOLE corpus
+    (no id panel) — bits 0..30 from md5_int(tok), 31..61 from
+    md5_int('s1_' || tok). See simhash62's round-7 versionchanged note."""
     votes = ",\n         ".join(
-        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
-        for b in range(num_bits)
+        f"sum(CASE WHEN (h0 >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(31)
+    ) + ",\n         " + ",\n         ".join(
+        f"sum(CASE WHEN (h1 >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS w{b}"
+        for b in range(31)
     )
     bits = " + ".join(
-        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(num_bits)
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(31)
+    ) + " + " + " + ".join(
+        f"(CASE WHEN w{b} > 0 THEN {1 << (31 + b)} ELSE 0 END)" for b in range(31)
     )
     return f"""
 toks AS (
   SELECT doc_id, unnest(list_distinct({_SQL_TOKENS})) AS tok FROM documents
 ),
 hashed AS (
-  SELECT doc_id, {_SQL_MD5INT.format(x='tok')} AS h FROM toks
+  SELECT doc_id, {_SQL_MD5INT.format(x='tok')} AS h0,
+         {_SQL_MD5INT.format(x="('s1_' || tok)")} AS h1
+  FROM toks
 ),
 votes AS (
   SELECT doc_id,
@@ -126,9 +136,9 @@ sig AS (
     oracle=f"""
 WITH {_sql_simhash_all().lstrip().lstrip(chr(10))},
 blocked AS (
-  SELECT doc_id, s, 0 AS blk_idx, s // 256 AS blk_val FROM sig
+  SELECT doc_id, s, 0 AS blk_idx, s // 2147483648 AS blk_val FROM sig
   UNION ALL
-  SELECT doc_id, s, 1, s % 256 FROM sig
+  SELECT doc_id, s, 1, s % 2147483648 FROM sig
 ),
 small_blocks AS MATERIALIZED (
   SELECT blk_idx, blk_val FROM blocked
@@ -155,37 +165,41 @@ FROM verified
 GROUP BY hamming
 ORDER BY hamming
 """,
-    doc="SimHash near-dup JOIN (the Manku/Google dedup strategy scaled "
-    "down to 16 bits): split each signature into 2 byte-blocks; by "
-    "pigeonhole, any pair at Hamming distance <= 1 agrees EXACTLY on at "
-    "least one block, so blocking on (block_idx, block_val) finds every "
-    "such pair with equi-joins only — no all-pairs XOR scan. Candidates "
-    "verify with bit_count(xor); the summary reports pair volume per "
-    "verified distance. At 64 bits this becomes the standard k+1-block "
-    "table-rotation scheme; the plan shape (union of band tables, "
-    "bucket equi-join, cheap verify) is identical. Round-4 scale fix: "
-    "blocks with > 20 members are dropped before the self-join — a "
-    "16-bit signature has only 512 buckets TOTAL, so bucket size grows "
-    "linearly with the corpus and the join went quadratic at sf1.0; "
-    "oversized blocks are non-discriminative (production Manku-style "
-    "pipelines bound block sizes the same way), and the cap bounds "
-    "candidates to ~20x corpus size at any SF.",
+    doc="SimHash near-dup JOIN (the Manku/Google dedup strategy at 62 "
+    "bits): split each signature into 2 31-bit blocks; by pigeonhole, "
+    "any pair at Hamming distance <= 1 agrees EXACTLY on at least one "
+    "block, so blocking on (block_idx, block_val) finds every such pair "
+    "with equi-joins only — no all-pairs XOR scan. Candidates verify "
+    "with bit_count(xor); the summary reports pair volume per verified "
+    "distance. The > 20-member block cap (round 4) stays as the "
+    "degenerate-corpus bound, but with 2^31 values per block it rarely "
+    "binds on real data. "
+    ".. versionchanged:: round 7 — signature widened 16 -> 62 bits and "
+    "blocks 8 -> 31 bits: the old scheme had 512 buckets TOTAL, a "
+    "fixed-cardinality recall cliff past ~10k documents (the capped "
+    "buckets silently dropped every pair — proven and now guarded by "
+    "the planted-duplicate gate in tests/test_lsh_recall.py). Pair "
+    "counts are not comparable with rounds <= 6.",
     tags=("dedup", "simhash", "join"),
 )
 def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from p6_spark.operators import dedup as dd
 
     docs = _t(spark, sf_dir, "documents")
-    sig = docs.select("doc_id", dd.simhash16(F.col("text")).alias("s"))
+    sig = docs.select("doc_id", dd.simhash62(F.col("text")).alias("s"))
     blocked = sig.select(
         "doc_id",
         "s",
         F.explode(
             F.array(
                 F.struct(
-                    F.lit(0).alias("blk_idx"), F.expr("s div 256").alias("blk_val")
+                    F.lit(0).alias("blk_idx"),
+                    F.expr("s div 2147483648").alias("blk_val"),
                 ),
-                F.struct(F.lit(1).alias("blk_idx"), (F.col("s") % 256).alias("blk_val")),
+                F.struct(
+                    F.lit(1).alias("blk_idx"),
+                    (F.col("s") % F.lit(2147483648).cast("long")).alias("blk_val"),
+                ),
             )
         ).alias("b"),
     ).select("doc_id", "s", F.col("b.blk_idx").alias("blk_idx"), F.col("b.blk_val").alias("blk_val"))

@@ -101,19 +101,32 @@ def dd_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.lsh_candidate_pairs(sigs, num_hashes=8, band_size=2).orderBy("id_a", "id_b")
 
 
-def _sql_simhash(num_bits: int = 16) -> str:
+def _sql_simhash() -> str:
+    """DuckDB twin of operators/dedup.simhash62: bits 0..30 vote on
+    md5_int(tok), bits 31..61 on md5_int('s1_' || tok) — see the
+    simhash62 versionchanged note (round 7: widened from 16 bits, whose
+    512 total pigeonhole buckets were a recall cliff past ~10k docs)."""
     votes = ",\n         ".join(
-        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
-        for b in range(num_bits)
+        f"sum(CASE WHEN (h0 >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(31)
+    ) + ",\n         " + ",\n         ".join(
+        f"sum(CASE WHEN (h1 >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS w{b}"
+        for b in range(31)
     )
-    bits = " + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(num_bits))
+    bits = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(31)
+    ) + " + " + " + ".join(
+        f"(CASE WHEN w{b} > 0 THEN {1 << (31 + b)} ELSE 0 END)" for b in range(31)
+    )
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest(list_distinct({_SQL_TOKENS})) AS tok
   FROM documents WHERE doc_id < 200
 ),
 hashed AS (
-  SELECT doc_id, {_SQL_MD5INT.format(x='tok')} AS h FROM toks
+  SELECT doc_id, {_SQL_MD5INT.format(x='tok')} AS h0,
+         {_SQL_MD5INT.format(x="('s1_' || tok)")} AS h1
+  FROM toks
 ),
 votes AS (
   SELECT doc_id,
@@ -128,13 +141,16 @@ FROM votes ORDER BY doc_id
 @register(
     "dd_simhash",
     oracle=_sql_simhash(),
-    doc="16-bit SimHash signatures: linear scan, near-dups share signatures "
-    "(or differ in <= 2 bits). Integer-only arithmetic, engine-portable.",
+    doc="62-bit SimHash signatures: linear scan, near-dups share signatures "
+    "(or differ in a few bits). Integer-only arithmetic, engine-portable. "
+    ".. versionchanged:: round 7 — widened from 16 bits (fixed-cardinality "
+    "recall cliff; see operators/dedup.simhash62); signature values are "
+    "not comparable with rounds <= 6.",
     tags=("dedup", "simhash"),
 )
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return docs.select("doc_id", dd.simhash16(F.col("text")).alias("simhash")).orderBy("doc_id")
+    return docs.select("doc_id", dd.simhash62(F.col("text")).alias("simhash")).orderBy("doc_id")
 
 
 @register(
@@ -369,10 +385,21 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.brute_force_topk(emb, queries, k=5)
 
 
-def _sql_lsh_sig(table: int, num_planes: int = 8) -> str:
+def _sql_lsh_sig(
+    table: int,
+    num_planes: int = 8,
+    planes_sql: str | None = None,
+    min_planes: int = 8,
+) -> str:
     """DuckDB twin of operators/similarity.lsh_signature: bit-packed
     random-hyperplane signature with md5-parity ±1 components. DuckDB
-    lambda indexes are 1-based, hence (i-1)."""
+    lambda indexes are 1-based, hence (i-1).
+
+    ``planes_sql`` mirrors _signature_sql's runtime-conditional width:
+    plane terms at index >= ``min_planes`` short-circuit to 0 when the
+    index is at or above the runtime plane count (DuckDB evaluates CASE
+    branches lazily on the selection vector, so unused planes cost one
+    integer comparison, not a dot product)."""
     parts = []
     for p in range(num_planes):
         sign = (
@@ -380,7 +407,10 @@ def _sql_lsh_sig(table: int, num_planes: int = 8) -> str:
             " % 2 = 0 THEN 1.0 ELSE -1.0 END)"
         )
         proj = f"list_sum(list_transform(v, (x,i) -> x * {sign}))"
-        parts.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+        term = f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)"
+        if planes_sql is not None and p >= min_planes:
+            term = f"(CASE WHEN {p} < {planes_sql} THEN {term} ELSE 0 END)"
+        parts.append(term)
     return "(" + " + ".join(parts) + ")"
 
 
@@ -469,29 +499,34 @@ def _sql_adaptive_cand(
     """DuckDB twin of operators/similarity.lsh_candidate_vec_pairs:
     CTEs ``e`` (vec_id, label, v), ``np`` (adaptive plane count from the
     corpus size), signature/bucket/cap stages, ending in ``cand``
-    (id_a < id_b, distinct). Masking the 16-plane signature to the lower
-    ``planes`` bits is bit-identical to computing the narrower
-    signature, in both engines. ``materialized`` pins the bucket/cand
-    CTEs with MATERIALIZED — required when the chain feeds a RECURSIVE
-    consumer, where DuckDB's default inlining would re-evaluate the
-    signature stage per closure iteration (the q_graph_kcore lesson)."""
+    (id_a < id_b, distinct). Plane terms at or above the runtime plane
+    count short-circuit to 0 inside the signature expression (bit p
+    depends only on hyperplane p), so the bucket id IS the
+    adaptive-width signature — same construction as the Spark side, no
+    post-hoc mask. Width ceiling is 48 planes (round 7: the old
+    16-plane clamp was a recall cliff past ~1.3M vectors).
+    ``materialized`` pins the bucket/cand CTEs with MATERIALIZED —
+    required when the chain feeds a RECURSIVE consumer, where DuckDB's
+    default inlining would re-evaluate the signature stage per closure
+    iteration (the q_graph_kcore lesson)."""
     m = "MATERIALIZED " if materialized else ""
     sig_cols = ",\n         ".join(
-        f"{_sql_lsh_sig(t, 16)} AS s{t}" for t in range(num_tables)
+        f"{_sql_lsh_sig(t, 48, planes_sql='planes')} AS s{t}"
+        for t in range(num_tables)
     )
     tbls = ", ".join(str(t) for t in range(num_tables))
     ss = ", ".join(f"s{t}" for t in range(num_tables))
     return f"""e AS (SELECT vec_id, label, embedding::double[] AS v FROM {src}),
-np AS (SELECT least(16, greatest(8, cast(ceil(log2(count(*))) AS int) - 1)) AS planes
+np AS (SELECT least(48, greatest(8, cast(ceil(log2(count(*))) AS int) - 1)) AS planes
        FROM e),
 sigs AS (
   SELECT vec_id,
          {sig_cols}
-  FROM e
+  FROM e, np
 ),
 b AS (
-  SELECT vec_id, tbl, sig & ((1::BIGINT << planes) - 1) AS bkt
-  FROM (SELECT vec_id, unnest([{tbls}]) AS tbl, unnest([{ss}]) AS sig FROM sigs), np
+  SELECT vec_id, tbl, sig AS bkt
+  FROM (SELECT vec_id, unnest([{tbls}]) AS tbl, unnest([{ss}]) AS sig FROM sigs)
 ),
 small AS {m}(SELECT tbl, bkt FROM b GROUP BY tbl, bkt HAVING count(*) <= {max_bucket}),
 bs AS {m}(SELECT b.* FROM b JOIN small USING (tbl, bkt)),

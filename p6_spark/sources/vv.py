@@ -81,14 +81,19 @@ def _get_json_with_retry(
 ) -> dict:
     """GET with the reference's retry schedule: 4 attempts, backoff
     0.25s * 2^i between them (vv_lookup.py:58-83). Raises VVLookupError
-    after the last failure."""
+    after the last failure. Unlike the reference, the backoff is NOT
+    slept after the FINAL failed attempt (the reference sleeps 2s and
+    then raises anyway — dead wait that multiplies across every failing
+    key in an executor-side mapInPandas partition); the schedule BETWEEN
+    attempts is unchanged."""
     err: Exception | None = None
     for attempt in range(_ATTEMPTS):
         try:
             return transport(url)
         except Exception as e:  # network / HTTP / JSON-shape problems
             err = e
-            sleep(0.25 * (2**attempt))
+            if attempt < _ATTEMPTS - 1:
+                sleep(0.25 * (2**attempt))
     raise VVLookupError(f"Failed GET {url}: {err}") from err
 
 

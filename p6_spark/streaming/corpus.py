@@ -231,8 +231,15 @@ def incremental_ingest_sink(
     Increment-vs-corpus only, by design: increments are not near-deduped
     against EACH OTHER until the corpus index is next refreshed.
 
-    Accepted rows (doc_id, content_md5) append to ``out_dir`` parquet.
-    Returns the StreamingQuery (caller awaits termination)."""
+    Accepted rows (doc_id, content_md5) land in ``out_dir`` parquet,
+    written to an EPOCH-KEYED partition (``out_dir/epoch=<epoch_id>``)
+    with per-partition overwrite — so a micro-batch that fails after a
+    partial write and replays from the checkpoint overwrites its own
+    partition instead of duplicating rows (exactly-once output, the
+    same reason the CDC sink uses MERGE; a plain mode('append') here
+    was at-least-once, ADVICE r6). Readers see an extra ``epoch``
+    partition column. Returns the StreamingQuery (caller awaits
+    termination)."""
     from p6_spark.operators.text import STOPWORDS, tokens
 
     # the gate predicate inline (ingest_filter's exact integer rules) —
@@ -269,7 +276,10 @@ def incremental_ingest_sink(
             .distinct()
         )
         accepted = s2.join(matched, "doc_id", "left_anti")
-        accepted.select("doc_id", "content_md5").write.mode("append").parquet(out_dir)
+        # epoch-keyed overwrite = idempotent under checkpoint replay
+        accepted.select("doc_id", "content_md5").write.mode("overwrite").parquet(
+            f"{out_dir}/epoch={int(epoch_id)}"
+        )
 
     return (
         gated.writeStream.foreachBatch(_handle)

@@ -68,9 +68,16 @@ def main() -> int:
         # sweep they accumulate into storage-memory pressure that slowed
         # late checkpoint-heavy queries ~10x (q_graph_modularity measured
         # 124s in-sweep vs 12s standalone at sf1.0). The query is done —
-        # free its blocks before the next one.
-        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-            rdd.unpersist()
+        # free its blocks before the next one. clearCache() is the public
+        # API (covers cached relations); the py4j getPersistentRDDs walk
+        # additionally reaches checkpoint RDD blocks but is version-
+        # brittle, so it is best-effort (ADVICE r6).
+        spark.catalog.clearCache()
+        try:
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist()
+        except Exception:
+            pass
     print(f"\n{len(names) - n_fail}/{len(names)} green")
     return 1 if n_fail else 0
 

@@ -150,3 +150,18 @@ def test_bfs_hops_matches_driver_bfs_on_lsh_pairs(spark, sf_dir):
     assert set(got) == nodes
     for n in nodes:
         assert got[n] == want.get(n), n
+
+
+def test_cc_reliable_checkpoint_mode(spark, tmp_path, monkeypatch):
+    """Smoke test for the documented cluster-deployment swap (module
+    docstring): with P6_SPARK_RELIABLE_CHECKPOINT=1 and a checkpoint
+    dir set, every lineage cut goes through reliable
+    DataFrame.checkpoint() — results must be identical to the default
+    localCheckpoint mode, and the swap must stay compilable."""
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    want = _union_find(edges)
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    monkeypatch.setenv("P6_SPARK_RELIABLE_CHECKPOINT", "1")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == want

@@ -45,13 +45,19 @@ def _simhash_pairs(spark, sf_dir):
     from p6_spark.operators import dedup as dd
 
     docs = load_table(spark, sf_dir, "documents")
-    sig = docs.select("doc_id", dd.simhash16(F.col("text")).alias("s"))
+    sig = docs.select("doc_id", dd.simhash62(F.col("text")).alias("s"))
     blocked = sig.select(
         "doc_id",
         F.explode(
             F.array(
-                F.struct(F.lit(0).alias("blk_idx"), F.expr("s div 256").alias("blk_val")),
-                F.struct(F.lit(1).alias("blk_idx"), (F.col("s") % 256).alias("blk_val")),
+                F.struct(
+                    F.lit(0).alias("blk_idx"),
+                    F.expr("s div 2147483648").alias("blk_val"),
+                ),
+                F.struct(
+                    F.lit(1).alias("blk_idx"),
+                    (F.col("s") % F.lit(2147483648).cast("long")).alias("blk_val"),
+                ),
             )
         ).alias("b"),
     ).select("doc_id", F.col("b.blk_idx").alias("blk_idx"), F.col("b.blk_val").alias("blk_val"))
