@@ -91,6 +91,9 @@ INVARIANT_QUERIES = [
     "ml_dbscan_clusters",       # min-label CC + min-component borders
     "dd_split_leakage",         # CC + Knuth-hash split aggregates
     "pipe_incremental_ingest",  # three-stage funnel counts
+    # round-7 recall batch
+    "sim_multiprobe_lsh",       # probe-ring buckets + 6-dp re-rank
+    "dd_blocking_quality_audit",  # panel truth vs capped-LSH candidates
 ]
 
 
