@@ -241,20 +241,35 @@ def lsh_candidate_vec_pairs(
     collapses past ~1.3M vectors (tests/test_lsh_recall.py plants exact
     duplicates in a 5M-vector corpus and measures it).
 
-    Plan-size note: the hyperplane sign literals are sized to the
-    corpus's ACTUAL vector dimension, probed with a 1-row action at
-    build time (48 planes x 4 tables x 256 default components was
-    ~300KB of expression text — Catalyst analysis alone cost ~5s per
-    build; probing the real 64-dim data cuts it 4x). Rows longer than
-    the probed dimension still fail loudly via the raise_error guard
-    in _signature_sql.
+    Plan-size note: the signature expressions are SPECIALIZED at build
+    time by one probe aggregate over the corpus — the sign literals are
+    sized to the actual vector dimension, and only
+    ``adaptive_planes(probed n)`` plane terms are generated instead of
+    all ``max_planes`` (48 planes x 4 tables x 256 default components
+    was ~300KB of expression text; Catalyst parse+analysis alone cost
+    seconds per build, a fixed tax the 100 TB run doesn't need either).
+    Exactness is unaffected: the runtime ``_lsh_np`` conditional still
+    masks each term, so if the corpus SHRANK between probe and
+    execution the effective width narrows exactly as the DuckDB twin's
+    runtime ``np`` does; if it grew, the bucket stays at the built
+    width (graceful, slightly coarser) — and rows longer than the
+    probed dimension fail loudly via the raise_error guard in
+    _signature_sql.
     """
-    probe = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    import math
+
+    probe = corpus.agg(
+        F.count(F.lit(1)).alias("n"), F.first(F.size(F.col(vec_col))).alias("d")
+    ).first()
+    n = int(probe["n"]) if probe and probe["n"] is not None else 0
     dims = int(probe["d"]) if probe and probe["d"] is not None else 256
+    built = (
+        min(max_planes, max(8, math.ceil(math.log2(n)) - 1)) if n >= 2 else 8
+    )
     n1 = corpus.agg(F.count(F.lit(1)).alias("_lsh_n"))
     sigs = F.array(
         *[
-            lsh_signature(vec_col, max_planes, t, dims=dims, planes_col="_lsh_np")
+            lsh_signature(vec_col, built, t, dims=dims, planes_col="_lsh_np")
             for t in range(num_tables)
         ]
     )
