@@ -52,6 +52,14 @@ def r6_names() -> list[str]:
         return json.load(f).get("r6", [])
 
 
+def r7_names() -> list[str]:
+    """Fourth manifest section (appended round 7): the recall family
+    (multi-probe ANN + blocking-quality audit). Same appended-section
+    contract: timed, reported in "queries" + "r7_total"."""
+    with open(_MANIFEST) as f:
+        return json.load(f).get("r7", [])
+
+
 def family_of(name: str) -> str:
     """Bench family = registry prefix (dd_/txt_/sim_/mm_/pipe_/er_/ml_/
     p6_/q*). Keeps the --all report readable at 262 queries."""
@@ -85,7 +93,8 @@ def main() -> None:
     head = [n for n in headline_names() if n in qs]
     iters = [n for n in iterative_names() if n in qs and n not in head]
     r6 = [n for n in r6_names() if n in qs and n not in head and n not in iters]
-    names = list(qs) if args.all else head + iters + r6
+    r7 = [n for n in r7_names() if n in qs and n not in head + iters + r6]
+    names = list(qs) if args.all else head + iters + r6 + r7
     # Optional comma-separated subset for local iteration / regression
     # bisection (e.g. SPARK_GRAFT_BENCH_QUERIES=q01_pricing_summary,q06_...)
     only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
@@ -95,6 +104,7 @@ def main() -> None:
         head = [n for n in head if n in keep]
         iters = [n for n in iters if n in keep]
         r6 = [n for n in r6 if n in keep]
+        r7 = [n for n in r7 if n in keep]
 
     # Warmup: run every query once (untimed) so JVM startup +
     # WholeStageCodegen (Janino) compilation isn't billed to the timed
@@ -142,6 +152,8 @@ def main() -> None:
         out["iterative_total"] = round(sum(timings[n] for n in iters), 4)
     if not args.all and r6:
         out["r6_total"] = round(sum(timings[n] for n in r6), 4)
+    if not args.all and r7:
+        out["r7_total"] = round(sum(timings[n] for n in r7), 4)
     if args.all:
         fams: dict[str, float] = {}
         for n, t in timings.items():

@@ -240,6 +240,21 @@ PICKS = {
         "aggregate over the symmetric edge list — no stage is "
         "quadratic in corpus size."
     ),
+    "sim_multiprobe_lsh": (
+        "Multi-probe LSH (round 7): the 9-bucket probe ring explodes "
+        "only the broadcast QUERY side; the corpus is signed once into "
+        "2 tables and candidates come from a bucket equi-join — recall "
+        "of 4 exact-probe tables at half the index, and no plan stage "
+        "scales with probes x corpus."
+    ),
+    "dd_blocking_quality_audit": (
+        "Blocking-quality audit (round 7): the brute-force truth join "
+        "is confined to the bounded panel (fixed cost at any corpus "
+        "size); the production capped-LSH candidate subtree is the real "
+        "blocking output filtered to the panel; recall emits as one "
+        "integer-exact scalar row — the continuous monitor for silent "
+        "recall collapse."
+    ),
 }
 
 
