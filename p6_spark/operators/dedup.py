@@ -179,6 +179,68 @@ def simhash62(text: Column) -> Column:
     return F.element_at(F.transform(F.array(hashes), fold_bits), 1)
 
 
+def simhash62_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash) for every row of ``df`` — value-identical to
+    ``simhash62`` but computed as explode -> ONE grouped aggregate with
+    62 codegen'd conditional sums, instead of 62 per-row higher-order
+    array folds. Spark does not whole-stage-codegen lambda functions
+    inside ``aggregate()``: the fold form interprets 62 x |tokens|
+    lambda calls per document, which measured 52s Spark-side at sf1.0
+    (50k docs) when the signature widened 16 -> 62 bits in round 7.
+    Here the per-token vote CASEs live inside a HashAggregate (partial
+    aggregation runs map-side, so only one 62-column row per document
+    shuffles) — 52s -> a few seconds, same integers.
+
+    Documents whose text has NO tokens get signature 0, matching the
+    fold form (every vote is 0, no bit set).
+
+    The two md5 hashes are MATERIALIZED in a projection before the
+    aggregate: Catalyst does not common-subexpression-eliminate across
+    aggregate expressions, so referencing ``md5_int(tok)`` inside each
+    of the 62 vote sums would evaluate 124 md5s per token row (measured
+    ~50s of the original 58s at sf1.0); the projection computes each
+    hash once per row and the votes read bound columns."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode_outer(F.array_distinct(tokens(F.col(text_col)))).alias("_sh_tok"),
+    )
+    hashed = toks.select(
+        F.col(id_col),
+        F.col("_sh_tok"),
+        md5_int(F.col("_sh_tok")).alias("_sh_h0"),
+        md5_int(F.concat(F.lit("s1_"), F.col("_sh_tok"))).alias("_sh_h1"),
+    )
+    votes = [
+        F.sum(
+            F.when(F.col("_sh_tok").isNull(), 0)
+            .when(F.shiftright(F.col("_sh_h0"), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"_v{b}")
+        for b in range(31)
+    ] + [
+        F.sum(
+            F.when(F.col("_sh_tok").isNull(), 0)
+            .when(F.shiftright(F.col("_sh_h1"), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"_w{b}")
+        for b in range(31)
+    ]
+    agg = hashed.groupBy(id_col).agg(*votes)
+    sig = None
+    for b in range(31):
+        term = F.when(F.col(f"_v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    for b in range(31):
+        sig = sig + F.when(
+            F.col(f"_w{b}") > 0, F.lit(1 << (31 + b)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Array of n-word shingles (space-joined), order-preserving.
 

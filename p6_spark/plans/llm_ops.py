@@ -150,7 +150,7 @@ FROM votes ORDER BY doc_id
 )
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return docs.select("doc_id", dd.simhash62(F.col("text")).alias("simhash")).orderBy("doc_id")
+    return dd.simhash62_table(docs).orderBy("doc_id")
 
 
 @register(

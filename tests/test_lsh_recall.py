@@ -172,7 +172,7 @@ def test_simhash62_block_recall_at_100k(spark):
 
     corpus = _planted_doc_corpus(spark)
     try:
-        sig = corpus.select("doc_id", dd.simhash62(F.col("text")).alias("s"))
+        sig = dd.simhash62_table(corpus).withColumnRenamed("simhash", "s")
         hits = _planted_doc_recall(_simhash_block_pairs(sig))
         assert hits >= 0.8 * _DOC_K, (
             f"simhash62 pigeonhole-block recall {hits}/{_DOC_K} at "
@@ -232,9 +232,8 @@ def test_simhash_16bit_blocks_fail_at_100k(spark):
 
     corpus = _planted_doc_corpus(spark)
     try:
-        sig = corpus.select(
-            "doc_id",
-            (dd.simhash62(F.col("text")) % F.lit(65536).cast("long")).alias("s"),
+        sig = dd.simhash62_table(corpus).select(
+            "doc_id", (F.col("simhash") % F.lit(65536).cast("long")).alias("s")
         )
         hits = _planted_doc_recall(_simhash_block_pairs(sig, hi_div=256, lo_mod=256))
         assert hits < 0.5 * _DOC_K, (

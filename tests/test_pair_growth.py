@@ -45,7 +45,7 @@ def _simhash_pairs(spark, sf_dir):
     from p6_spark.operators import dedup as dd
 
     docs = load_table(spark, sf_dir, "documents")
-    sig = docs.select("doc_id", dd.simhash62(F.col("text")).alias("s"))
+    sig = dd.simhash62_table(docs).withColumnRenamed("simhash", "s")
     blocked = sig.select(
         "doc_id",
         F.explode(
