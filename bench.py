@@ -134,6 +134,19 @@ def main() -> None:
             qs[name](spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
+        # Free localCheckpoint blocks between queries — the same lesson
+        # check_queries.py learned at r6: over a 281-query --all run the
+        # accumulated blocks build storage-memory pressure that inflates
+        # late checkpoint-heavy queries (q_graph_kcore measured 2.9x its
+        # r6 time before this). Each query is billed its own
+        # materializations (the timed runs above include them); it just
+        # starts from a clean block store.
+        spark.catalog.clearCache()
+        try:
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist()
+        except Exception:
+            pass
 
     total = round(
         sum(timings.values())
