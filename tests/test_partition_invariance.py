@@ -94,6 +94,8 @@ INVARIANT_QUERIES = [
     # round-7 recall batch
     "sim_multiprobe_lsh",       # probe-ring buckets + 6-dp re-rank
     "dd_blocking_quality_audit",  # panel truth vs capped-LSH candidates
+    "pipe_sequence_packing",    # two-phase cumsum window assignment
+    "pipe_domain_mixture",      # water-filling integer rates
 ]
 
 
