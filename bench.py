@@ -173,8 +173,8 @@ def main() -> None:
             fams[family_of(n)] = round(fams.get(family_of(n), 0.0) + t, 4)
         out["families"] = dict(sorted(fams.items()))
     line = json.dumps(out)
-    # Also persist the full JSON to a file: the driver records only the
-    # tail of stdout, which front-truncated BENCH_r06.json past parsing
+    # Persist the FULL JSON to a file: the driver records only the tail
+    # of stdout, which front-truncated BENCH_r06.json past parsing
     # (r6 verdict "what's missing" #2). The file is the lossless copy.
     out_path = args.out or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "benchdata", "bench_last.json"
@@ -185,7 +185,26 @@ def main() -> None:
             f.write(line + "\n")
     except OSError as e:
         print(f"bench.py: could not write {out_path}: {e}", file=sys.stderr)
-    print(line)
+    # The stdout line must PARSE from the driver's capture, which keeps
+    # only the last ~2000 bytes: a line longer than that arrives
+    # front-truncated and BENCH_r06/r07.json recorded "parsed": null.
+    # Print a line guaranteed to fit: per-query detail for the frozen
+    # headline set only (3 decimals), appended manifest sections as
+    # *_total fields, full detail in the file above (path included).
+    # Degrade by dropping the queries dict entirely before ever
+    # emitting an unparseable line.
+    slim = dict(out)
+    slim["detail"] = out_path
+    slim["queries"] = {
+        n: round(t, 3) for n, t in timings.items() if args.all or n in head
+    }
+    if args.all:
+        slim.pop("queries")  # 283-query detail never fits; file has it
+    slim_line = json.dumps(slim)
+    if len(slim_line) > 1900:
+        slim.pop("queries", None)
+        slim_line = json.dumps(slim)
+    print(slim_line)
 
 
 if __name__ == "__main__":

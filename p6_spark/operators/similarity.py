@@ -187,8 +187,21 @@ def adaptive_planes(n: Column, min_planes: int = 8, max_planes: int = 48) -> Col
     makes blocks grow linearly with data and within-block pairs grow
     quadratically. Widening the signature with log2(n) keeps occupancy
     flat at any scale — the same planes-scale-with-corpus discipline a
-    production ANN index applies. log2 of exact powers of two is exact
-    in IEEE doubles, so the width is bit-identical across engines.
+    production ANN index applies.
+
+    .. versionchanged:: round 8
+       Computed as ``length(bin(n-1))`` (exact integer bit-length, ==
+       Python ``(n-1).bit_length()``) instead of ``ceil(log2(n))``:
+       Spark evaluates ``log2`` as ``ln(x)/ln(2)``, which lands ABOVE
+       the true value at n = 2^29, 2^31, 2^39, 2^47 (measured:
+       log2(2^29) = 29.000000000000004), so ``ceil`` yielded one extra
+       plane exactly at power-of-two corpus sizes — a silent
+       cross-engine width disagreement with the DuckDB twin (whose
+       native log2 IS exact at powers of two) right in the production
+       corpus range. The round-7 design dodged it only because the
+       generated terms were capped at the Python-computed build width;
+       the Column form now cannot disagree for any n >= 2. Caught by
+       tests/test_advice_r7.py::test_bit_length_width_matches_engine_log2.
 
     .. versionchanged:: round 7
        ``max_planes`` raised 16 -> 48. The 16-plane clamp was a silent
@@ -205,7 +218,10 @@ def adaptive_planes(n: Column, min_planes: int = 8, max_planes: int = 48) -> Col
        keeps them."""
     return F.least(
         F.lit(max_planes),
-        F.greatest(F.lit(min_planes), F.ceil(F.log2(n)).cast("int") - F.lit(1)),
+        F.greatest(
+            F.lit(min_planes),
+            F.length(F.bin(n.cast("long") - F.lit(1))).cast("int") - F.lit(1),
+        ),
     )
 
 
@@ -241,43 +257,46 @@ def lsh_candidate_vec_pairs(
     collapses past ~1.3M vectors (tests/test_lsh_recall.py plants exact
     duplicates in a 5M-vector corpus and measures it).
 
-    Plan-size note: the signature expressions are SPECIALIZED at build
-    time by one probe aggregate over the corpus — the sign literals are
-    sized to the actual vector dimension, and only
-    ``adaptive_planes(probed n)`` plane terms are generated instead of
-    all ``max_planes`` (48 planes x 4 tables x 256 default components
-    was ~300KB of expression text; Catalyst parse+analysis alone cost
-    seconds per build, a fixed tax the 100 TB run doesn't need either).
-    Exactness is unaffected: the runtime ``_lsh_np`` conditional still
-    masks each term, so if the corpus SHRANK between probe and
-    execution the effective width narrows exactly as the DuckDB twin's
-    runtime ``np`` does; if it grew, the bucket stays at the built
-    width (graceful, slightly coarser) — and rows longer than the
-    probed dimension fail loudly via the raise_error guard in
-    _signature_sql.
+    EAGER-PROBE CAVEAT (callers beware): building this plan runs ONE
+    aggregate job over ``corpus`` (count + first vector size) — the
+    function is not lazily composable; don't call it inside a loop that
+    rebuilds plans, and don't call it at import time. The probe is what
+    SPECIALIZES the signature expressions: the sign literals are sized
+    to the actual vector dimension, and only ``adaptive_planes(probed
+    n)`` plane terms are generated instead of all ``max_planes`` (48
+    planes x 4 tables x 256 default components was ~300KB of expression
+    text; Catalyst parse+analysis alone cost seconds per build, a fixed
+    tax the 100 TB run doesn't need either). The probed count is
+    AUTHORITATIVE for the plane width (round-8, ADVICE r7: the second
+    runtime count aggregate is gone — one corpus scan per execution
+    saved): the width is computed exactly as ``(n-1).bit_length()-1``
+    clamped to [8, max_planes], which equals the DuckDB twin's
+    ``ceil(log2(n))-1`` for every feasible n: DuckDB's native log2 is
+    exact at powers of two (measured to 2^50), elsewhere log2(n) sits
+    >= ~1/(n·ln2) away from any integer — astronomically beyond double
+    rounding error below the 48-plane clamp (the first ulp-rounding n,
+    2^49+1, is already clamp-saturated on both sides). NOTE Spark's own
+    ``log2`` is ln(x)/ln(2) and is NOT exact at powers of two (see
+    adaptive_planes round-8 note) — never reintroduce it in a width
+    computation. Rows longer
+    than the probed dimension fail loudly via the raise_error guard in
+    _signature_sql; a corpus REGENERATED between build and execution
+    re-probes on the next build (plans here are built per call).
     """
-    import math
-
     probe = corpus.agg(
         F.count(F.lit(1)).alias("n"), F.first(F.size(F.col(vec_col))).alias("d")
     ).first()
     n = int(probe["n"]) if probe and probe["n"] is not None else 0
     dims = int(probe["d"]) if probe and probe["d"] is not None else 256
-    built = (
-        min(max_planes, max(8, math.ceil(math.log2(n)) - 1)) if n >= 2 else 8
-    )
-    n1 = corpus.agg(F.count(F.lit(1)).alias("_lsh_n"))
+    built = min(max_planes, max(8, (n - 1).bit_length() - 1)) if n >= 2 else 8
     sigs = F.array(
         *[
-            lsh_signature(vec_col, built, t, dims=dims, planes_col="_lsh_np")
+            lsh_signature(vec_col, built, t, dims=dims)
             for t in range(num_tables)
         ]
     )
-    b = (
-        corpus.select(F.col(id_col).alias("vid"), F.col(vec_col))
-        .crossJoin(F.broadcast(n1))
-        .withColumn("_lsh_np", adaptive_planes(F.col("_lsh_n"), max_planes=max_planes))
-        .select("vid", F.posexplode(sigs).alias("tbl", "bkt"))
+    b = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col)).select(
+        "vid", F.posexplode(sigs).alias("tbl", "bkt")
     )
     # bucket-size cap via a PARTITIONED window (one shuffle, no second
     # evaluation of the signature subtree the way a groupBy+join back

@@ -21,10 +21,19 @@ _PACK_BUDGET = 4096  # chars per packed training sequence (token proxy)
 @register(
     "pipe_sequence_packing",
     oracle=f"""
-WITH d AS (
+WITH src AS (
+  SELECT doc_id,
+         CASE WHEN n_chars IS NULL OR n_chars < 1
+              THEN error('pipe_sequence_packing: n_chars < 1 — an empty '
+                         'document has no START offset inside any window; '
+                         'filter or repair before packing')
+              ELSE n_chars END AS n_chars
+  FROM documents
+),
+d AS (
   SELECT doc_id, n_chars,
          sum(n_chars) OVER (ORDER BY doc_id) AS cum
-  FROM documents
+  FROM src
 ),
 assigned AS (
   SELECT doc_id, n_chars,
@@ -51,6 +60,13 @@ ORDER BY docs_in_seq
     "belongs to the window its START offset falls in, and documents "
     "whose span crosses a window boundary are counted as straddlers "
     "(the truncation/continuation candidates a packer must handle). "
+    "Documents with n_chars < 1 (or NULL) raise at execution in BOTH "
+    "engines (ADVICE r7): an empty document has no start offset inside "
+    "any window — its straddle test compares an end window EARLIER than "
+    "its start window (falsely flagged at boundaries), and a leading "
+    "empty doc hits cum-1 = -1 where DuckDB floor // gives -1 but Spark "
+    "div truncates to 0, breaking oracle parity. Loud failure over "
+    "silent drift, the two_phase_rank null-guard discipline. "
     "Output is the docs-per-sequence histogram with straddler counts — "
     "the packing-efficiency report. Scale shape: the global running "
     "offset is the distributed two-phase prefix sum "
@@ -65,7 +81,22 @@ ORDER BY docs_in_seq
 def pipe_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from p6_spark.operators.ranking import two_phase_rank
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        # loud-failure guard (ADVICE r7): n_chars < 1 breaks the straddle
+        # test's window arithmetic (see oracle/doc) — raise, don't drift
+        F.when(F.col("n_chars") >= 1, F.col("n_chars"))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "pipe_sequence_packing: n_chars < 1 — an empty document "
+                    "has no START offset inside any window; filter or "
+                    "repair before packing"
+                )
+            )
+        )
+        .alias("n_chars"),
+    )
     ranked = two_phase_rank(
         docs, [F.asc("doc_id")], F.col("doc_id"), cum_cols=["n_chars"]
     )
@@ -117,13 +148,15 @@ w AS (
 ),
 joined AS (
   SELECT a.lang, a.avail_chars, w.w_x1e6,
-         (a.avail_chars * 1000000) // w.w_x1e6 AS max_total
+         cast((a.avail_chars::HUGEINT * 1000000) // w.w_x1e6 AS bigint)
+           AS max_total
   FROM avail a JOIN w USING (lang)
 ),
 t AS (SELECT min(max_total) AS total_chars FROM joined)
 SELECT j.lang, j.avail_chars, j.w_x1e6,
-       cast((t.total_chars * j.w_x1e6) // 1000000 AS bigint) AS take_chars,
-       cast((((t.total_chars * j.w_x1e6) // 1000000) * 1000000)
+       cast((t.total_chars::HUGEINT * j.w_x1e6) // 1000000 AS bigint)
+         AS take_chars,
+       cast((((t.total_chars::HUGEINT * j.w_x1e6) // 1000000) * 1000000)
             // j.avail_chars AS bigint) AS rate_x1e6
 FROM joined j, t
 ORDER BY j.lang
@@ -133,8 +166,11 @@ ORDER BY j.lang
     "find the LARGEST total corpus satisfying the exact mixture without "
     "oversampling any language — total = min over langs of "
     "avail/weight; per-lang take = total x weight and sampling rate = "
-    "take/avail (x1e6 exact integers, trunc division staged so every "
-    "quotient fits int64). This is the computation behind every "
+    "take/avail (x1e6 exact integers; wide PRODUCTS staged through "
+    "decimal(38,0)/HUGEINT — int64 products wrap past ~9.2e12 chars "
+    "per language, well under 100 TB — and trunc division staged so "
+    "every QUOTIENT fits int64 to ~1.4 exabytes per language, with "
+    "DuckDB raising loudly beyond). This is the computation behind every "
     "fixed-mixture training recipe (the DoReMi-style reweighting "
     "front-end): the binding language sets the achievable scale, every "
     "other language downsamples to match. One aggregate per language + "
@@ -154,19 +190,30 @@ def pipe_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             list(_MIX_W.items()), "lang string, w_x1e6 long"
         )
     )
+    # Wide products staged through decimal(38,0) (ADVICE r7, medium):
+    # avail_chars * 1e6 as int64 wraps silently past ~9.2e12 chars per
+    # language — three orders of magnitude UNDER the 100 TB design
+    # point — while the DuckDB twin raises on BIGINT overflow: silent
+    # wrong answers plus engine divergence. decimal(38,0) products hold
+    # to ~1e38 (Spark) / HUGEINT (DuckDB); `div` on decimals returns
+    # bigint in Spark, and every quotient fits int64 up to ~1.4 exabytes
+    # of chars PER LANGUAGE (avail*1e6/min_weight < 2^63), far past the
+    # design point; DuckDB's hugeint->bigint cast raises beyond it.
     joined = avail.join(w, "lang").withColumn(
-        "max_total", F.expr("(avail_chars * 1000000) div w_x1e6")
+        "max_total",
+        F.expr("(cast(avail_chars as decimal(38,0)) * 1000000) div w_x1e6"),
     )
     t = joined.agg(F.min("max_total").alias("total_chars"))
+    take = "(cast(total_chars as decimal(38,0)) * w_x1e6) div 1000000"
     return (
         joined.crossJoin(F.broadcast(t))  # 1-row scalar attaches
         .select(
             "lang",
             "avail_chars",
             "w_x1e6",
-            F.expr("(total_chars * w_x1e6) div 1000000").alias("take_chars"),
+            F.expr(take).alias("take_chars"),
             F.expr(
-                "(((total_chars * w_x1e6) div 1000000) * 1000000) div avail_chars"
+                f"(cast(({take}) as decimal(38,0)) * 1000000) div avail_chars"
             ).alias("rate_x1e6"),
         )
         .orderBy("lang")
