@@ -60,6 +60,15 @@ def r7_names() -> list[str]:
         return json.load(f).get("r7", [])
 
 
+def r8_names() -> list[str]:
+    """Fifth manifest section (appended round 8): the curation family
+    (shard balance, curriculum order, dataloader plan, mutual-kNN
+    graph, threshold sweep, cross-shard dup audit). Same contract:
+    timed, reported in "queries" + "r8_total"."""
+    with open(_MANIFEST) as f:
+        return json.load(f).get("r8", [])
+
+
 def family_of(name: str) -> str:
     """Bench family = registry prefix (dd_/txt_/sim_/mm_/pipe_/er_/ml_/
     p6_/q*). Keeps the --all report readable at 262 queries."""
@@ -94,7 +103,8 @@ def main() -> None:
     iters = [n for n in iterative_names() if n in qs and n not in head]
     r6 = [n for n in r6_names() if n in qs and n not in head and n not in iters]
     r7 = [n for n in r7_names() if n in qs and n not in head + iters + r6]
-    names = list(qs) if args.all else head + iters + r6 + r7
+    r8 = [n for n in r8_names() if n in qs and n not in head + iters + r6 + r7]
+    names = list(qs) if args.all else head + iters + r6 + r7 + r8
     # Optional comma-separated subset for local iteration / regression
     # bisection (e.g. SPARK_GRAFT_BENCH_QUERIES=q01_pricing_summary,q06_...)
     only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
@@ -105,6 +115,7 @@ def main() -> None:
         iters = [n for n in iters if n in keep]
         r6 = [n for n in r6 if n in keep]
         r7 = [n for n in r7 if n in keep]
+        r8 = [n for n in r8 if n in keep]
 
     # Warmup: run every query once (untimed) so JVM startup +
     # WholeStageCodegen (Janino) compilation isn't billed to the timed
@@ -167,6 +178,8 @@ def main() -> None:
         out["r6_total"] = round(sum(timings[n] for n in r6), 4)
     if not args.all and r7:
         out["r7_total"] = round(sum(timings[n] for n in r7), 4)
+    if not args.all and r8:
+        out["r8_total"] = round(sum(timings[n] for n in r8), 4)
     if args.all:
         fams: dict[str, float] = {}
         for n, t in timings.items():

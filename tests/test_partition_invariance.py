@@ -96,6 +96,13 @@ INVARIANT_QUERIES = [
     "dd_blocking_quality_audit",  # panel truth vs capped-LSH candidates
     "pipe_sequence_packing",    # two-phase cumsum window assignment
     "pipe_domain_mixture",      # water-filling integer rates
+    # round-8 curation batch
+    "pipe_shard_balance",       # serpentine deal over the two-phase rank
+    "pipe_curriculum_order",    # seeded-hash epoch orders, tier ranges
+    "pipe_dataloader_plan",     # 1-row drop-last arithmetic
+    "sim_knn_graph",            # integer-cos mutual top-k degrees
+    "dd_threshold_sweep",       # one-pass jaccard threshold curve
+    "dd_cross_shard_dup_audit", # confirmed pairs x serpentine shards
 ]
 
 
