@@ -569,6 +569,129 @@ def dd_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipe_post_dedup_mixture",
+    oracle=f"""
+WITH RECURSIVE {_sql_jaccard_scored()},
+dups AS MATERIALIZED (
+  SELECT id_a, id_b FROM scored WHERE jaccard_x1e6 >= {_DUP_CUT}
+),
+edges AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM dups UNION SELECT id_b, id_a FROM dups
+),
+reach AS (
+  SELECT u AS node, u AS label FROM edges
+  UNION
+  SELECT e.u, r.label FROM edges e JOIN reach r ON r.node = e.v
+),
+comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+dropped AS (SELECT node AS doc_id FROM comp WHERE node <> component),
+langs AS (SELECT * FROM (VALUES {", ".join(f"('{k}', {v})" for k, v in
+                                           {"en": 400_000, "de": 150_000,
+                                            "fr": 150_000, "es": 150_000,
+                                            "zh": 150_000}.items())})
+          AS t(lang, w_x1e6)),
+before AS (
+  SELECT lang, cast(sum(n_chars) AS bigint) AS avail_before
+  FROM documents WHERE lang IN (SELECT lang FROM langs) GROUP BY lang
+),
+after AS (
+  SELECT lang, cast(sum(n_chars) AS bigint) AS avail_after
+  FROM documents
+  WHERE lang IN (SELECT lang FROM langs)
+    AND doc_id NOT IN (SELECT doc_id FROM dropped)
+  GROUP BY lang
+),
+j AS (
+  SELECT l.lang, l.w_x1e6, b.avail_before,
+         coalesce(a.avail_after, 0) AS avail_after
+  FROM langs l JOIN before b USING (lang) LEFT JOIN after a USING (lang)
+),
+tb AS (SELECT min(cast((avail_before::HUGEINT * 1000000) // w_x1e6 AS bigint))
+         AS total_before FROM j),
+ta AS (SELECT min(cast((avail_after::HUGEINT * 1000000) // w_x1e6 AS bigint))
+         AS total_after FROM j)
+SELECT j.lang, j.w_x1e6, j.avail_before, j.avail_after,
+       tb.total_before, ta.total_after
+FROM j, tb, ta
+ORDER BY j.lang
+""",
+    doc="Dedup-aware mixture re-planning — the composition every "
+    "curation loop runs after committing a dedup cut: near-dup "
+    f"clusters (exact shingle Jaccard >= {_DUP_CUT / 1e6} on capped-LSH "
+    "candidates, min-label connected components) keep only their "
+    "min-id representative; per-language available chars are recomputed "
+    "on the survivors and the water-filling achievable total "
+    "(pipe_domain_mixture's min over avail/weight, decimal/HUGEINT "
+    "staged) is reported BEFORE and AFTER — the number that tells you "
+    "whether dedup moved the binding language and shrank the feasible "
+    "run. Scale shape: confirmed pairs are the capped linear stream; "
+    "CC is bounded-round propagation; the mixture arithmetic is a "
+    "5-row broadcast. Oracle replays the clustering with a RECURSIVE "
+    "min-label closure (MATERIALIZED inputs, the q_graph_kcore "
+    "lesson); like dd_cc_clusters, the closure twin is infeasible on "
+    "corpora whose pair graph chains into one giant component — the "
+    "engine side stays bounded-round there.",
+    tags=("pipeline", "dedup", "mixture", "graph", "fixed-point"),
+)
+def pipe_post_dedup_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6_spark.operators.graph import connected_components
+
+    mix_w = {"en": 400_000, "de": 150_000, "fr": 150_000, "es": 150_000,
+             "zh": 150_000}
+    docs = load_table(spark, sf_dir, "documents")
+    dups = _jaccard_scored(spark, sf_dir).filter(
+        F.col("jaccard_x1e6") >= _DUP_CUT
+    )
+    cc = connected_components(dups)
+    dropped = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    in_scope = docs.filter(F.col("lang").isin(list(mix_w)))
+    before = in_scope.groupBy("lang").agg(
+        F.sum("n_chars").alias("avail_before")
+    )
+    after = (
+        in_scope.join(dropped, "doc_id", "left_anti")
+        .groupBy("lang")
+        .agg(F.sum("n_chars").alias("avail_after"))
+    )
+    w = F.broadcast(
+        spark.createDataFrame(list(mix_w.items()), "lang string, w_x1e6 long")
+    )
+    j = (
+        w.join(before, "lang")
+        .join(after, "lang", "left")
+        .select(
+            "lang",
+            "w_x1e6",
+            "avail_before",
+            F.coalesce("avail_after", F.lit(0)).alias("avail_after"),
+        )
+        # feeds both min-total aggregates and the final projection
+        .localCheckpoint()
+    )
+    tb = j.agg(
+        F.min(
+            F.expr("(cast(avail_before as decimal(38,0)) * 1000000) div w_x1e6")
+        ).alias("total_before")
+    )
+    ta = j.agg(
+        F.min(
+            F.expr("(cast(avail_after as decimal(38,0)) * 1000000) div w_x1e6")
+        ).alias("total_after")
+    )
+    return (
+        j.crossJoin(F.broadcast(tb))
+        .crossJoin(F.broadcast(ta))
+        .select(
+            "lang", "w_x1e6", "avail_before", "avail_after",
+            "total_before", "total_after",
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "dd_cross_shard_dup_audit",
     oracle=f"""
 WITH {_sql_jaccard_scored()},

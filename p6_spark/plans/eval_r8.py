@@ -1,0 +1,291 @@
+"""Round-8 evaluation-pipeline operators: the aggregate computations an
+LLM eval/alignment stack runs at corpus scale — unbiased pass@k over
+per-task sample outcomes, and Bradley-Terry strength estimation from
+pairwise preference outcomes (the reward-model data computation).
+
+Both are exact-integer fixed-point with DuckDB twins; wide products
+stage through decimal(38,0)/HUGEINT per the pipe_domain_mixture lesson.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from p6_spark.plans.registry import register
+from p6_spark.sources.tables import load_table
+
+_PASS_KS = (1, 2, 5)
+_N_TASKS = 97  # prime task-bucket count for the synthetic eval panel
+
+
+def _pass_sql(k: int, engine: str) -> str:
+    """Per-task unbiased pass@k (Chen et al.: 1 - C(n-c,k)/C(n,k)) as an
+    exact x1e6 integer, for columns n (samples) and c (successes), valid
+    under n >= k. C(n-c,k)/C(n,k) = prod_{i<k} (n-c-i)/(n-i); both
+    products are staged wide (decimal(38,0) / HUGEINT — n^5 x 1e6
+    overflows int64 past n ~= 6.2k samples per task) and the quotient is
+    one trunc division, so both engines compute the identical integer."""
+    if engine == "spark":
+        num = " * ".join(f"cast(n - c - {i} as decimal(38,0))" for i in range(k))
+        den = " * ".join(f"cast(n - {i} as decimal(38,0))" for i in range(k))
+    else:
+        num = " * ".join(f"(n - c - {i})::HUGEINT" for i in range(k))
+        den = " * ".join(f"(n - {i})::HUGEINT" for i in range(k))
+    div = "div" if engine == "spark" else "//"
+    return (
+        f"CASE WHEN n - c < {k} THEN 1000000 "
+        f"ELSE 1000000 - cast((({num}) * 1000000) {div} ({den}) AS bigint) END"
+    )
+
+
+@register(
+    "ml_pass_at_k",
+    oracle=f"""
+WITH samples AS (
+  SELECT l_partkey % {_N_TASKS} AS task_id,
+         CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END AS ok
+  FROM lineitem
+),
+per_task AS (
+  SELECT task_id, count(*) AS n, cast(sum(ok) AS bigint) AS c
+  FROM samples GROUP BY task_id
+),
+ks AS (SELECT * FROM (VALUES {", ".join(f"({k})" for k in _PASS_KS)}) t(k)),
+scored AS (
+  SELECT ks.k,
+         CASE ks.k {" ".join(f"WHEN {k} THEN {_pass_sql(k, 'duck')}" for k in _PASS_KS)}
+         END AS pass_x1e6
+  FROM per_task, ks
+  WHERE per_task.n >= ks.k
+)
+SELECT k,
+       cast(count(*) AS bigint) AS n_tasks,
+       cast(sum(pass_x1e6) // count(*) AS bigint) AS mean_pass_x1e6,
+       cast(min(pass_x1e6) AS bigint) AS min_pass_x1e6,
+       cast(max(pass_x1e6) AS bigint) AS max_pass_x1e6
+FROM scored GROUP BY k
+ORDER BY k
+""",
+    doc="Unbiased pass@k estimation — THE eval metric for sampled code/"
+    "math generations (Chen et al. 2021): per task, pass@k = "
+    "1 - C(n-c,k)/C(n,k) over n samples with c successes, computed as "
+    "EXACT integer combinatorics (the binomial ratio telescopes to a "
+    "k-factor product; factors staged decimal(38,0)/HUGEINT because "
+    "n^5 x 1e6 overflows int64 past ~6.2k samples/task, then ONE trunc "
+    f"division). Synthetic panel: task = l_partkey % {_N_TASKS}, "
+    "success = l_quantity >= 25; ks = "
+    f"{list(_PASS_KS)}; tasks with n < k are excluded (the estimator is "
+    "undefined there). Output per k: task count, mean/min/max pass "
+    "(x1e6). Scale shape: one hash aggregate to (task, n, c) — "
+    "map-side combined, the only shuffle — then a 3-row broadcast "
+    "k-panel and row-wise arithmetic; 100 TB of samples reduce to "
+    "|tasks| rows before anything pairwise happens.",
+    tags=("ml", "eval", "fixed-point"),
+)
+def ml_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per_task = (
+        li.select(
+            (F.col("l_partkey") % _N_TASKS).alias("task_id"),
+            F.when(F.col("l_quantity") >= 25, 1).otherwise(0).alias("ok"),
+        )
+        .groupBy("task_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("ok").cast("long").alias("c"))
+    )
+    ks = F.broadcast(
+        spark.createDataFrame([(k,) for k in _PASS_KS], "k int")
+    )
+    case = "CASE k " + " ".join(
+        f"WHEN {k} THEN {_pass_sql(k, 'spark')}" for k in _PASS_KS
+    ) + " END"
+    scored = (
+        per_task.crossJoin(ks)
+        .filter(F.col("n") >= F.col("k"))
+        .select("k", F.expr(case).alias("pass_x1e6"))
+    )
+    return (
+        scored.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_tasks"),
+            F.expr("sum(pass_x1e6) div count(*)").alias("mean_pass_x1e6"),
+            F.min("pass_x1e6").alias("min_pass_x1e6"),
+            F.max("pass_x1e6").alias("max_pass_x1e6"),
+        )
+        .orderBy("k")
+    )
+
+
+@register(
+    "ml_bt_strength",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_id, event_type, value,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type,
+         lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value
+  FROM events
+),
+matches AS (
+  SELECT CASE WHEN value > prev_value
+                OR (value = prev_value AND event_type < prev_type)
+              THEN event_type ELSE prev_type END AS winner,
+         CASE WHEN value > prev_value
+                OR (value = prev_value AND event_type < prev_type)
+              THEN prev_type ELSE event_type END AS loser
+  FROM ordered
+  WHERE prev_type IS NOT NULL AND prev_type <> event_type
+),
+pair_counts AS (
+  SELECT CASE WHEN winner < loser THEN winner ELSE loser END AS t_a,
+         CASE WHEN winner < loser THEN loser ELSE winner END AS t_b,
+         count(*) AS n_games,
+         cast(sum(CASE WHEN winner < loser THEN 1 ELSE 0 END) AS bigint) AS a_wins
+  FROM matches GROUP BY 1, 2
+),
+sided AS (
+  SELECT t_a AS t, t_b AS opp, n_games, a_wins AS wins FROM pair_counts
+  UNION ALL
+  SELECT t_b, t_a, n_games, n_games - a_wins FROM pair_counts
+),
+totals AS (
+  SELECT t, cast(sum(wins) AS bigint) AS w_total,
+         cast(sum(n_games) AS bigint) AS games
+  FROM sided GROUP BY t
+),
+s1 AS (
+  SELECT t, sum((n_games::HUGEINT * 1000000000000) // 2000000) AS s1
+  FROM sided GROUP BY t
+),
+w1 AS (
+  SELECT tt.t,
+         cast((tt.w_total::HUGEINT * 1000000000000) // s1.s1 AS bigint) AS w1_x1e6
+  FROM totals tt JOIN s1 ON s1.t = tt.t
+),
+w2 AS (
+  SELECT s.t,
+         cast((tt.w_total::HUGEINT * 1000000000000)
+              // sum((s.n_games::HUGEINT * 1000000000000)
+                     // (wa.w1_x1e6 + wb.w1_x1e6)) AS bigint) AS w2_x1e6
+  FROM sided s
+  JOIN w1 wa ON wa.t = s.t
+  JOIN w1 wb ON wb.t = s.opp
+  JOIN totals tt ON tt.t = s.t
+  GROUP BY s.t, tt.w_total
+)
+SELECT tt.t AS event_type, tt.w_total AS wins, tt.games,
+       w1.w1_x1e6, w2.w2_x1e6
+FROM totals tt JOIN w1 ON w1.t = tt.t JOIN w2 ON w2.t = tt.t
+ORDER BY event_type
+""",
+    doc="Bradley-Terry strength estimation from pairwise outcomes — the "
+    "aggregate behind preference-data curation and reward-model "
+    "sanity checks: consecutive events of one user form a match "
+    "between their two event types (higher value wins, ties break to "
+    "the lexicographically smaller type), and two "
+    "minorization-maximization iterations w_i <- W_i / sum_j "
+    "n_ij/(w_i+w_j) run from the uniform start as EXACT fixed-point "
+    "integers — each n_ij/(w_i+w_j) term is one trunc division at "
+    "x1e12 staging (HUGEINT/decimal: n_ij x 1e12 overflows int64 past "
+    "~9.2M games per pair), summed exactly, so both engines produce "
+    "identical strengths with no float iteration drift. Output per "
+    "type: wins, games, first- and second-iteration strengths (x1e6). "
+    "Scale shape: the match stream is a lag window per user (group "
+    "size bounded, user count scales); everything after is a "
+    "|types|^2 matrix (25 cells) — driver-free MM iterations over a "
+    "broadcast-size table, the standard shape for ranking millions of "
+    "model-comparison battles.",
+    tags=("ml", "preference", "fixed-point", "window"),
+)
+def ml_bt_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    ordered = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("value").over(w).alias("prev_value"),
+    )
+    a_beats = (F.col("value") > F.col("prev_value")) | (
+        (F.col("value") == F.col("prev_value"))
+        & (F.col("event_type") < F.col("prev_type"))
+    )
+    matches = ordered.filter(
+        F.col("prev_type").isNotNull() & (F.col("prev_type") != F.col("event_type"))
+    ).select(
+        F.when(a_beats, F.col("event_type")).otherwise(F.col("prev_type")).alias(
+            "winner"
+        ),
+        F.when(a_beats, F.col("prev_type")).otherwise(F.col("event_type")).alias(
+            "loser"
+        ),
+    )
+    pair_counts = (
+        matches.select(
+            F.least("winner", "loser").alias("t_a"),
+            F.greatest("winner", "loser").alias("t_b"),
+            F.when(F.col("winner") < F.col("loser"), 1).otherwise(0).alias("a_win"),
+        )
+        .groupBy("t_a", "t_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_games"),
+            F.sum("a_win").cast("long").alias("a_wins"),
+        )
+    )
+    sided = pair_counts.select(
+        F.col("t_a").alias("t"),
+        F.col("t_b").alias("opp"),
+        "n_games",
+        F.col("a_wins").alias("wins"),
+    ).unionAll(
+        pair_counts.select(
+            F.col("t_b").alias("t"),
+            F.col("t_a").alias("opp"),
+            "n_games",
+            (F.col("n_games") - F.col("a_wins")).alias("wins"),
+        )
+    )
+    # the 2x|pairs| sided table feeds totals + two MM iterations: cut once
+    sided = sided.localCheckpoint()
+    totals = sided.groupBy("t").agg(
+        F.sum("wins").cast("long").alias("w_total"),
+        F.sum("n_games").cast("long").alias("games"),
+    )
+    term_uniform = "(cast(n_games as decimal(38,0)) * 1000000000000) div 2000000"
+    s1 = sided.groupBy("t").agg(F.expr(f"sum({term_uniform})").alias("s1"))
+    w1 = totals.join(s1, "t").select(
+        "t",
+        F.expr(
+            "(cast(w_total as decimal(38,0)) * 1000000000000) div s1"
+        ).alias("w1_x1e6"),
+    )
+    wa = w1.select(F.col("t"), F.col("w1_x1e6").alias("wa"))
+    wb = w1.select(F.col("t").alias("opp"), F.col("w1_x1e6").alias("wb"))
+    term2 = "(cast(n_games as decimal(38,0)) * 1000000000000) div (wa + wb)"
+    s2 = (
+        sided.join(wa, "t")
+        .join(wb, "opp")
+        .groupBy("t")
+        .agg(F.expr(f"sum({term2})").alias("s2"))
+    )
+    w2 = totals.join(s2, "t").select(
+        "t",
+        F.expr(
+            "(cast(w_total as decimal(38,0)) * 1000000000000) div s2"
+        ).alias("w2_x1e6"),
+    )
+    return (
+        totals.join(w1, "t")
+        .join(w2, "t")
+        .select(
+            F.col("t").alias("event_type"),
+            F.col("w_total").alias("wins"),
+            "games",
+            "w1_x1e6",
+            "w2_x1e6",
+        )
+        .orderBy("event_type")
+    )

@@ -103,6 +103,9 @@ INVARIANT_QUERIES = [
     "sim_knn_graph",            # integer-cos mutual top-k degrees
     "dd_threshold_sweep",       # one-pass jaccard threshold curve
     "dd_cross_shard_dup_audit", # confirmed pairs x serpentine shards
+    "ml_pass_at_k",             # exact binomial-ratio pass@k
+    "ml_bt_strength",           # fixed-point Bradley-Terry MM steps
+    "pipe_post_dedup_mixture",  # CC survivors x water-filling totals
 ]
 
 
