@@ -19,11 +19,21 @@ from p6_spark.sources.tables import HARNESS_TABLES
 
 
 def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    # close() matters: every duckdb.connect() is its own database instance
+    # with its own buffer pool, and an unclosed one keeps its buffers until
+    # process exit — ~300 parity tests leaked enough to OOM a 128 GB box at
+    # the END of a green full-suite run (the kill lands in teardown, after
+    # [100%], so the tests all "passed" and only the exit code showed it).
     con = duckdb.connect()
-    for t in HARNESS_TABLES:
-        path = os.path.join(sf_dir, f"{t}.parquet")
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
-    return con.execute(sql).fetchdf()
+    try:
+        for t in HARNESS_TABLES:
+            path = os.path.join(sf_dir, f"{t}.parquet")
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+        return con.execute(sql).fetchdf()
+    finally:
+        con.close()
 
 
 def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
