@@ -289,3 +289,245 @@ def ml_bt_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_CAL_BINS = 10
+
+
+@register(
+    "ml_calibration_bins",
+    oracle=f"""
+WITH scored AS (
+  SELECT least(1000000, greatest(0, cast(l_quantity AS bigint) * 20000))
+           AS conf_x1e6,
+         CASE WHEN l_extendedprice >= 30000 THEN 1 ELSE 0 END AS y
+  FROM lineitem
+),
+binned AS (
+  SELECT least({_CAL_BINS - 1}, conf_x1e6 // {1_000_000 // _CAL_BINS}) AS bin,
+         conf_x1e6, y
+  FROM scored
+),
+per_bin AS (
+  SELECT bin, count(*) AS n,
+         cast(sum(conf_x1e6) AS bigint) AS sum_conf,
+         cast(sum(y) AS bigint) AS n_pos
+  FROM binned GROUP BY bin
+),
+stats AS (
+  SELECT bin, n,
+         cast(sum_conf // n AS bigint) AS mean_conf_x1e6,
+         cast((n_pos::HUGEINT * 1000000) // n AS bigint) AS acc_x1e6
+  FROM per_bin
+),
+gaps AS (
+  SELECT bin, n, mean_conf_x1e6, acc_x1e6,
+         abs(mean_conf_x1e6 - acc_x1e6) AS gap_x1e6
+  FROM stats
+),
+t AS (
+  SELECT cast(sum(n::HUGEINT * gap_x1e6) // sum(n) AS bigint) AS ece_x1e6
+  FROM gaps
+)
+SELECT g.bin, g.n, g.mean_conf_x1e6, g.acc_x1e6, g.gap_x1e6, t.ece_x1e6
+FROM gaps g, t
+ORDER BY g.bin
+""",
+    doc="Model-calibration report (reliability table + expected "
+    "calibration error) — the standard eval artifact for any scored "
+    "classifier or reward model: predictions bucket into "
+    f"{_CAL_BINS} equal-width confidence bins; per bin the mean "
+    "confidence, empirical accuracy, and |gap| are exact x1e6 integers "
+    "(one trunc division each, HUGEINT/decimal staged — n x 1e6 and "
+    "n x gap overflow int64 in the trillion-row regime); ECE is the "
+    "n-weighted mean gap, attached as a broadcast 1-row scalar. "
+    "Synthetic panel: confidence = quantity scaled to [0, 1e6], "
+    "outcome = price threshold — the REPORT is the operator; a real "
+    "deployment swaps the two input expressions. Scale shape: one hash "
+    "aggregate to <= 10 bins, then constant-size arithmetic — 100 TB "
+    "of predictions reduce in one map-side-combined pass.",
+    tags=("ml", "eval", "calibration", "fixed-point"),
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    width = 1_000_000 // _CAL_BINS
+    binned = li.select(
+        F.least(
+            F.lit(1_000_000),
+            F.greatest(F.lit(0), F.col("l_quantity").cast("bigint") * 20000),
+        ).alias("conf_x1e6"),
+        F.when(F.col("l_extendedprice") >= 30000, 1).otherwise(0).alias("y"),
+    ).select(
+        F.least(F.lit(_CAL_BINS - 1), F.expr(f"conf_x1e6 div {width}")).alias(
+            "bin"
+        ),
+        "conf_x1e6",
+        "y",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("conf_x1e6").alias("sum_conf"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    gaps = per_bin.select(
+        "bin",
+        "n",
+        F.expr("sum_conf div n").alias("mean_conf_x1e6"),
+        F.expr(
+            "(cast(n_pos as decimal(38,0)) * 1000000) div n"
+        ).alias("acc_x1e6"),
+    ).select(
+        "bin",
+        "n",
+        "mean_conf_x1e6",
+        "acc_x1e6",
+        F.abs(F.col("mean_conf_x1e6") - F.col("acc_x1e6")).alias("gap_x1e6"),
+    ).localCheckpoint()  # feeds the ECE aggregate AND the projection
+    t = gaps.agg(
+        F.expr(
+            "sum(cast(n as decimal(38,0)) * gap_x1e6) div sum(n)"
+        ).alias("ece_x1e6")
+    )
+    return (
+        gaps.crossJoin(F.broadcast(t))
+        .select("bin", "n", "mean_conf_x1e6", "acc_x1e6", "gap_x1e6", "ece_x1e6")
+        .orderBy("bin")
+    )
+
+
+@register(
+    "ml_brier_decomposition",
+    oracle=f"""
+WITH scored AS (
+  SELECT least(1000000, greatest(0, cast(l_quantity AS bigint) * 20000))
+           AS conf_x1e6,
+         CASE WHEN l_extendedprice >= 30000 THEN 1 ELSE 0 END AS y
+  FROM lineitem
+),
+binned AS (
+  SELECT least({_CAL_BINS - 1}, conf_x1e6 // {1_000_000 // _CAL_BINS}) AS bin,
+         conf_x1e6, y
+  FROM scored
+),
+direct AS (
+  SELECT count(*) AS n_total,
+         cast(sum(y) AS bigint) AS n_pos,
+         cast(sum((conf_x1e6 - y * 1000000)::HUGEINT
+                  * (conf_x1e6 - y * 1000000)) // count(*) AS bigint)
+           AS brier_x1e12
+  FROM binned
+),
+per_bin AS (
+  SELECT bin, count(*) AS n,
+         cast(sum(conf_x1e6) // count(*) AS bigint) AS conf_k,
+         cast((sum(y)::HUGEINT * 1000000) // count(*) AS bigint) AS acc_k
+  FROM binned GROUP BY bin
+),
+base AS (
+  SELECT cast((n_pos::HUGEINT * 1000000) // n_total AS bigint) AS base_x1e6,
+         n_total
+  FROM direct
+),
+decomp AS (
+  SELECT
+    cast(sum(p.n::HUGEINT * (p.conf_k - p.acc_k) * (p.conf_k - p.acc_k))
+         // b.n_total AS bigint) AS reliability_x1e12,
+    cast(sum(p.n::HUGEINT * (p.acc_k - b.base_x1e6) * (p.acc_k - b.base_x1e6))
+         // b.n_total AS bigint) AS resolution_x1e12
+  FROM per_bin p, base b
+  GROUP BY b.n_total
+)
+SELECT d.brier_x1e12, dc.reliability_x1e12, dc.resolution_x1e12,
+       cast((b.base_x1e6::HUGEINT * (1000000 - b.base_x1e6)) AS bigint)
+         AS uncertainty_x1e12,
+       b.base_x1e6
+FROM direct d, decomp dc, base b
+""",
+    doc="Murphy decomposition of the Brier score — reliability (bin "
+    "miscalibration), resolution (how much the bins separate the base "
+    "rate), uncertainty (base-rate variance) — alongside the directly "
+    "computed Brier, all exact x1e12 fixed-point (squares of x1e6 "
+    "terms; every product HUGEINT/decimal staged, one trunc division "
+    "per component). The textbook identity brier = reliability - "
+    "resolution + uncertainty holds up to the documented trunc-div "
+    "residue of the binned means (within-bin confidence variance plus "
+    "<= 3 ulp of x1e6 rounding) — both engines compute each component "
+    "identically, which is the bar. Same synthetic scored panel as "
+    "ml_calibration_bins. Scale shape: two hash aggregates (10 bins + "
+    "one global) over one scan; everything else is 10-row arithmetic.",
+    tags=("ml", "eval", "calibration", "fixed-point"),
+)
+def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    width = 1_000_000 // _CAL_BINS
+    binned = li.select(
+        F.least(
+            F.lit(1_000_000),
+            F.greatest(F.lit(0), F.col("l_quantity").cast("bigint") * 20000),
+        ).alias("conf_x1e6"),
+        F.when(F.col("l_extendedprice") >= 30000, 1).otherwise(0).alias("y"),
+    ).select(
+        F.least(F.lit(_CAL_BINS - 1), F.expr(f"conf_x1e6 div {width}")).alias(
+            "bin"
+        ),
+        "conf_x1e6",
+        "y",
+    ).localCheckpoint()  # feeds the direct pass AND the bin pass
+    direct = binned.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.expr(
+            "sum(cast(conf_x1e6 - y * 1000000 as decimal(38,0))"
+            " * (conf_x1e6 - y * 1000000)) div count(*)"
+        ).alias("brier_x1e12"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("sum(conf_x1e6) div count(*)").alias("conf_k"),
+        F.expr(
+            "(cast(sum(y) as decimal(38,0)) * 1000000) div count(*)"
+        ).alias("acc_k"),
+    )
+    base = direct.select(
+        F.expr(
+            "(cast(n_pos as decimal(38,0)) * 1000000) div n_total"
+        ).alias("base_x1e6"),
+        "n_total",
+    )
+    decomp = (
+        per_bin.crossJoin(F.broadcast(base))
+        .groupBy("n_total")
+        .agg(
+            F.expr(
+                "sum(cast(n as decimal(38,0)) * (conf_k - acc_k)"
+                " * (conf_k - acc_k)) div first(n_total)"
+            ).alias("reliability_x1e12"),
+            F.expr(
+                "sum(cast(n as decimal(38,0)) * (acc_k - base_x1e6)"
+                " * (acc_k - base_x1e6)) div first(n_total)"
+            ).alias("resolution_x1e12"),
+        )
+        .drop("n_total")
+    )
+    return (
+        direct.select("brier_x1e12")
+        .crossJoin(F.broadcast(decomp))
+        .crossJoin(
+            F.broadcast(
+                base.select(
+                    F.expr(
+                        "cast((cast(base_x1e6 as decimal(38,0))"
+                        " * (1000000 - base_x1e6)) as bigint)"
+                    ).alias("uncertainty_x1e12"),
+                    "base_x1e6",
+                )
+            )
+        )
+        .select(
+            "brier_x1e12",
+            "reliability_x1e12",
+            "resolution_x1e12",
+            "uncertainty_x1e12",
+            "base_x1e6",
+        )
+    )

@@ -106,6 +106,8 @@ INVARIANT_QUERIES = [
     "ml_pass_at_k",             # exact binomial-ratio pass@k
     "ml_bt_strength",           # fixed-point Bradley-Terry MM steps
     "pipe_post_dedup_mixture",  # CC survivors x water-filling totals
+    "ml_calibration_bins",      # x1e6 reliability table + weighted ECE
+    "ml_brier_decomposition",   # x1e12 Murphy components
 ]
 
 
