@@ -28,8 +28,56 @@ def entry(spark: SparkSession) -> DataFrame:
     return qs["q05_region_revenue"](spark, "/root/testdata/sf0.001")
 
 
+# --- rotating correctness-sample proposal (round-9, VERDICT r8 item 5) ----
+#
+# The driver's CORRECTNESS_r0N.json has sampled the same 50 queries since
+# round 1, so queries registered later never appear in a driver artifact
+# (the builder's own 294-query sweeps cover them, but the driver's record
+# does not). If the sample is derived from queries() iteration order, the
+# rotation below fixes that with zero driver changes: queries() now yields
+# a deterministic round-keyed order — _FIXED_N anchor queries first (the
+# earliest-registered core-relational set, stable across rounds), then
+# _ROTATING_N rotating picks (md5(round:name) order over the remainder, so
+# every query eventually lands in a driver sample), then everything else.
+# The round number is inferred from the CORRECTNESS_r*.json artifacts
+# already committed. If the driver ignores iteration order, nothing is
+# lost — the mapping itself is unchanged.
+
+_FIXED_N = 30
+_ROTATING_N = 20
+
+
+def _current_round() -> int:
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    return len(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))) + 1
+
+
+def proposed_sample(round_no: int | None = None) -> list[str]:
+    """Deterministic 50-query correctness sample for a given round:
+    _FIXED_N stable anchors + _ROTATING_N round-keyed rotating picks."""
+    import hashlib
+
+    names = list(get_queries())
+    rn = _current_round() if round_no is None else round_no
+    fixed = names[:_FIXED_N]
+    rest = names[_FIXED_N:]
+    rotating = sorted(
+        rest, key=lambda n: hashlib.md5(f"{rn}:{n}".encode()).hexdigest()
+    )[:_ROTATING_N]
+    return fixed + rotating
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return get_queries()
+    qs = get_queries()
+    ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for n in proposed_sample():
+        ordered[n] = qs[n]
+    for n, fn in qs.items():
+        if n not in ordered:
+            ordered[n] = fn
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

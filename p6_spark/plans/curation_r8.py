@@ -165,7 +165,14 @@ def _jaccard_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(id_a, id_b, jaccard_x1e6): Spark twin of _sql_jaccard_scored —
     capped banded-MinHash candidates, then exact shingle Jaccard via
     per-doc shingle ARRAYS joined by id (two linear joins; the shingle
-    sets never shuffle as rows)."""
+    sets never shuffle as rows).
+
+    Overflow note (ADVICE r8): ``F.size`` returns 32-bit INT, so the
+    counts are staged to BIGINT before the x1e6 multiply — a document
+    with > 2147 distinct 3-word shingles (~2.1k words, routine in real
+    corpora) overflows INT32 in ``n_common * 1000000`` otherwise (ANSI
+    raise on Spark 4 / silent wrap pre-ANSI, either way diverging from
+    the DuckDB twin whose ``len()`` is already BIGINT)."""
     from p6_spark.operators import dedup as dd
 
     docs = load_table(spark, sf_dir, "documents")
@@ -190,9 +197,10 @@ def _jaccard_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "id_a",
             "id_b",
-            F.expr("(n_common * 1000000) div (n_a + n_b - n_common)").alias(
-                "jaccard_x1e6"
-            ),
+            F.expr(
+                "(cast(n_common as bigint) * 1000000)"
+                " div (cast(n_a as bigint) + n_b - n_common)"
+            ).alias("jaccard_x1e6"),
         )
     )
 
@@ -446,11 +454,37 @@ ORDER BY degree
     tags=("similarity", "graph", "lsh", "fixed-point"),
 )
 def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    mutual = _mutual_knn_edges(emb)
+    deg = (
+        mutual.select(F.col("id_a").alias("node"))
+        .unionAll(mutual.select(F.col("id_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("degree")
+    )
+
+
+def _mutual_knn_edges(
+    emb: DataFrame, k: int = _KNN_K, **lsh_kwargs
+) -> DataFrame:
+    """Mutual top-k edges (id_a < id_b) over the capped adaptive-LSH
+    candidates — the sim_knn_graph core, factored out so the
+    planted-neighborhood recall gate (tests/test_knn_recall.py) can
+    measure EDGE recall directly: top-k neighborhood recall is a
+    stricter property than the pair gate's candidate recall (a true
+    top-k neighbor missing from the candidate set is invisible to the
+    pair gate), so the graph gets its own planted floor.
+    ``lsh_kwargs`` pass through to lsh_candidate_vec_pairs (the gate's
+    self-check narrows the signature to prove the floor bites)."""
     from p6_spark.operators.similarity import cosine, lsh_candidate_vec_pairs
 
-    emb = load_table(spark, sf_dir, "embeddings")
     # pairs feed both union branches -> one lineage cut (the r6 lesson)
-    pairs = lsh_candidate_vec_pairs(emb).localCheckpoint()
+    pairs = lsh_candidate_vec_pairs(emb, **lsh_kwargs).localCheckpoint()
     sym = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -462,6 +496,14 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "src",
             "dst",
+            # Two roundings on BOTH engines, deliberately (VERDICT r8 7a):
+            # round(cos, 6) snaps each engine's float to the same 1e-6
+            # grid FIRST (cross-engine float noise lives below that), and
+            # the outer round(· * 1e6, 0) kills the binary-float residue
+            # of the x1e6 scaling (e.g. 123456.99999999) before the cast.
+            # A single round(cos * 1e6) re-admits half-ulp disagreements
+            # at the grid boundary, where ranking ties would then break
+            # differently per engine. Keep the oracle's spelling in sync.
             F.round(F.round(cosine(F.col("va"), F.col("vb")), 6) * 1000000, 0)
             .cast("bigint")
             .alias("cos_x1e6"),
@@ -474,11 +516,11 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                 W.partitionBy("src").orderBy(F.desc("cos_x1e6"), F.asc("dst"))
             ),
         )
-        .filter(F.col("rn") <= _KNN_K)
+        .filter(F.col("rn") <= k)
         .select("src", "dst")
         .localCheckpoint()  # referenced twice by the mutuality self-join
     )
-    mutual = (
+    return (
         topk.alias("a")
         .join(
             topk.alias("b"),
@@ -486,17 +528,6 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("a.src") < F.col("a.dst"))
         .select(F.col("a.src").alias("id_a"), F.col("a.dst").alias("id_b"))
-    )
-    deg = (
-        mutual.select(F.col("id_a").alias("node"))
-        .unionAll(mutual.select(F.col("id_b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
-    return (
-        deg.groupBy("degree")
-        .agg(F.count(F.lit(1)).alias("n_nodes"))
-        .orderBy("degree")
     )
 
 

@@ -18,6 +18,16 @@ from p6_spark.sources.tables import load_table
 _PASS_KS = (1, 2, 5)
 _N_TASKS = 97  # prime task-bucket count for the synthetic eval panel
 
+# Loud-failure ceiling (ADVICE r8): the k=5 denominator stage is
+# n^5 x 1e6, which exceeds decimal(38,0) / the safe HUGEINT headroom
+# past n ~= 2.51e6 samples per task (10^(32/5)). Spark non-ANSI decimal
+# overflow yields NULL silently (sum() skips it while count(*) keeps the
+# row, corrupting mean_pass_x1e6) whereas DuckDB HUGEINT raises much
+# later — so BOTH engines raise identically at this documented bound
+# instead. 2M samples per task is far beyond any real eval run; past it,
+# split tasks or subsample before scoring.
+_PASS_N_MAX = 2_000_000
+
 
 def _pass_sql(k: int, engine: str) -> str:
     """Per-task unbiased pass@k (Chen et al.: 1 - C(n-c,k)/C(n,k)) as an
@@ -25,16 +35,25 @@ def _pass_sql(k: int, engine: str) -> str:
     under n >= k. C(n-c,k)/C(n,k) = prod_{i<k} (n-c-i)/(n-i); both
     products are staged wide (decimal(38,0) / HUGEINT — n^5 x 1e6
     overflows int64 past n ~= 6.2k samples per task) and the quotient is
-    one trunc division, so both engines compute the identical integer."""
+    one trunc division, so both engines compute the identical integer.
+    Tasks with n > _PASS_N_MAX raise identically in both engines (the
+    decimal(38,0) product ceiling — see _PASS_N_MAX)."""
+    msg = (
+        f"ml_pass_at_k: n > {_PASS_N_MAX} samples in one task exceeds the "
+        "decimal(38,0) product ceiling of the exact k=5 combinatorics — "
+        "split the task or subsample before scoring"
+    )
     if engine == "spark":
         num = " * ".join(f"cast(n - c - {i} as decimal(38,0))" for i in range(k))
         den = " * ".join(f"cast(n - {i} as decimal(38,0))" for i in range(k))
+        guard = f"WHEN n > {_PASS_N_MAX} THEN raise_error('{msg}')"
     else:
         num = " * ".join(f"(n - c - {i})::HUGEINT" for i in range(k))
         den = " * ".join(f"(n - {i})::HUGEINT" for i in range(k))
+        guard = f"WHEN n > {_PASS_N_MAX} THEN error('{msg}')"
     div = "div" if engine == "spark" else "//"
     return (
-        f"CASE WHEN n - c < {k} THEN 1000000 "
+        f"CASE {guard} WHEN n - c < {k} THEN 1000000 "
         f"ELSE 1000000 - cast((({num}) * 1000000) {div} ({den}) AS bigint) END"
     )
 
@@ -76,7 +95,11 @@ ORDER BY k
     f"division). Synthetic panel: task = l_partkey % {_N_TASKS}, "
     "success = l_quantity >= 25; ks = "
     f"{list(_PASS_KS)}; tasks with n < k are excluded (the estimator is "
-    "undefined there). Output per k: task count, mean/min/max pass "
+    f"undefined there) and tasks with n > {_PASS_N_MAX} raise loudly in "
+    "BOTH engines (the decimal(38,0) ceiling of the exact k=5 product — "
+    "silent Spark decimal-overflow NULLs would corrupt the mean while "
+    "DuckDB HUGEINT raises later; loud-over-drift, ADVICE r8). "
+    "Output per k: task count, mean/min/max pass "
     "(x1e6). Scale shape: one hash aggregate to (task, n, c) — "
     "map-side combined, the only shuffle — then a 3-row broadcast "
     "k-panel and row-wise arithmetic; 100 TB of samples reduce to "
@@ -158,7 +181,8 @@ s1 AS (
 ),
 w1 AS (
   SELECT tt.t,
-         cast((tt.w_total::HUGEINT * 1000000000000) // s1.s1 AS bigint) AS w1_x1e6
+         cast(greatest(1, (tt.w_total::HUGEINT * 1000000000000) // s1.s1)
+              AS bigint) AS w1_x1e6
   FROM totals tt JOIN s1 ON s1.t = tt.t
 ),
 w2 AS (
@@ -187,7 +211,12 @@ ORDER BY event_type
     "integers — each n_ij/(w_i+w_j) term is one trunc division at "
     "x1e12 staging (HUGEINT/decimal: n_ij x 1e12 overflows int64 past "
     "~9.2M games per pair), summed exactly, so both engines produce "
-    "identical strengths with no float iteration drift. Output per "
+    "identical strengths with no float iteration drift. First-iteration "
+    "strengths are floored at 1 (one x1e-6 ulp) in BOTH engines "
+    "(ADVICE r8): win rates below ~5e-7 of game count truncate w1 to 0 "
+    "and zero the (w_a + w_b) denominator, where DuckDB raises but "
+    "Spark div NULLs silently — the floor keeps degenerate inputs "
+    "cross-engine identical. Output per "
     "type: wins, games, first- and second-iteration strengths (x1e6). "
     "Scale shape: the match stream is a lag window per user (group "
     "size bounded, user count scales); everything after is a "
@@ -248,6 +277,14 @@ def ml_bt_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_games") - F.col("a_wins")).alias("wins"),
         )
     )
+    return _bt_mm(sided)
+
+
+def _bt_mm(sided: DataFrame) -> DataFrame:
+    """Two exact fixed-point MM iterations over a ``sided`` match table
+    (t, opp, n_games, wins) — the Bradley-Terry core, factored out so the
+    degenerate-input gate (tests/test_advice_r8.py) can feed it a panel
+    with truncated-to-zero win rates directly."""
     # the 2x|pairs| sided table feeds totals + two MM iterations: cut once
     sided = sided.localCheckpoint()
     totals = sided.groupBy("t").agg(
@@ -256,10 +293,18 @@ def ml_bt_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     term_uniform = "(cast(n_games as decimal(38,0)) * 1000000000000) div 2000000"
     s1 = sided.groupBy("t").agg(F.expr(f"sum({term_uniform})").alias("s1"))
+    # greatest(1, ...) floors the iterated strength (ADVICE r8): a type
+    # whose win rate is below ~5e-7 of its game count truncates w1 to 0,
+    # and two such types that ever met make the second-iteration
+    # denominator (wa + wb) zero — DuckDB // raises while Spark div
+    # returns NULL and silently drops the term from s2. Flooring at 1
+    # (one x1e-6 ulp, far below the estimator's resolution) keeps both
+    # engines identical on degenerate win rates.
     w1 = totals.join(s1, "t").select(
         "t",
         F.expr(
-            "(cast(w_total as decimal(38,0)) * 1000000000000) div s1"
+            "greatest(1, (cast(w_total as decimal(38,0))"
+            " * 1000000000000) div s1)"
         ).alias("w1_x1e6"),
     )
     wa = w1.select(F.col("t"), F.col("w1_x1e6").alias("wa"))
@@ -292,6 +337,29 @@ def ml_bt_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CAL_BINS = 10
+
+
+def _cal_binned(df: DataFrame) -> DataFrame:
+    """(bin, conf_x1e6, y) scored projection shared by ml_calibration_bins,
+    ml_brier_decomposition, AND the streaming twin
+    (streaming/evals.calibration_bins_stream) — one definition so the
+    batch report and the streaming ledger cannot drift. Expects lineitem
+    columns l_quantity / l_extendedprice (the synthetic scored panel); a
+    real deployment swaps this projection for its model's scores."""
+    width = 1_000_000 // _CAL_BINS
+    return df.select(
+        F.least(
+            F.lit(1_000_000),
+            F.greatest(F.lit(0), F.col("l_quantity").cast("bigint") * 20000),
+        ).alias("conf_x1e6"),
+        F.when(F.col("l_extendedprice") >= 30000, 1).otherwise(0).alias("y"),
+    ).select(
+        F.least(F.lit(_CAL_BINS - 1), F.expr(f"conf_x1e6 div {width}")).alias(
+            "bin"
+        ),
+        "conf_x1e6",
+        "y",
+    )
 
 
 @register(
@@ -350,20 +418,7 @@ ORDER BY g.bin
 )
 def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    width = 1_000_000 // _CAL_BINS
-    binned = li.select(
-        F.least(
-            F.lit(1_000_000),
-            F.greatest(F.lit(0), F.col("l_quantity").cast("bigint") * 20000),
-        ).alias("conf_x1e6"),
-        F.when(F.col("l_extendedprice") >= 30000, 1).otherwise(0).alias("y"),
-    ).select(
-        F.least(F.lit(_CAL_BINS - 1), F.expr(f"conf_x1e6 div {width}")).alias(
-            "bin"
-        ),
-        "conf_x1e6",
-        "y",
-    )
+    binned = _cal_binned(li)
     per_bin = binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("conf_x1e6").alias("sum_conf"),
@@ -459,20 +514,8 @@ FROM direct d, decomp dc, base b
 )
 def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    width = 1_000_000 // _CAL_BINS
-    binned = li.select(
-        F.least(
-            F.lit(1_000_000),
-            F.greatest(F.lit(0), F.col("l_quantity").cast("bigint") * 20000),
-        ).alias("conf_x1e6"),
-        F.when(F.col("l_extendedprice") >= 30000, 1).otherwise(0).alias("y"),
-    ).select(
-        F.least(F.lit(_CAL_BINS - 1), F.expr(f"conf_x1e6 div {width}")).alias(
-            "bin"
-        ),
-        "conf_x1e6",
-        "y",
-    ).localCheckpoint()  # feeds the direct pass AND the bin pass
+    # feeds the direct pass AND the bin pass: cut once
+    binned = _cal_binned(li).localCheckpoint()
     direct = binned.agg(
         F.count(F.lit(1)).alias("n_total"),
         F.sum("y").cast("long").alias("n_pos"),

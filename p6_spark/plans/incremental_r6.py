@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from p6_spark.plans.llm_ops import _SQL_TOKENS, _sql_minhash_sig
+from p6_spark.plans.llm_ops import _SQL_TOKENS, _sql_bounded_cc, _sql_minhash_sig
 from p6_spark.plans.registry import register
 from p6_spark.sources.tables import load_table
 
@@ -219,7 +219,7 @@ _SPLIT_SQL = (
 @register(
     "dd_split_leakage",
     oracle=f"""
-WITH RECURSIVE {_sql_minhash_sig('TRUE')},
+WITH {_sql_minhash_sig('TRUE')},
 bands AS (
   SELECT doc_id, 0 AS band_idx, cast(h0 AS varchar) || '_' || cast(h1 AS varchar) AS band_val FROM sig
   UNION ALL
@@ -242,17 +242,12 @@ pairs AS (
   FROM sb a JOIN sb b
     ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT id_a AS u, id_b AS v FROM pairs
   UNION
   SELECT id_b, id_a FROM pairs
 ),
-reach AS (
-  SELECT u AS node, u AS label FROM edges
-  UNION
-  SELECT e.u, r.label FROM edges e JOIN reach r ON r.node = e.v
-),
-comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+{_sql_bounded_cc()},
 ms AS (
   SELECT node AS doc_id, component,
          {_SPLIT_SQL.format(k='node')} AS split,

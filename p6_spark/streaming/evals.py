@@ -1,21 +1,25 @@
-"""Structured Streaming eval telemetry — the incremental spelling of
-ml_pass_at_k (plans/eval_r8.py): sample outcomes arrive as a stream,
-per-task (n, c) accumulate in ONE stateful aggregation, and the exact
-pass@k integers are a stateless projection on top.
+"""Structured Streaming eval telemetry — the incremental spellings of
+ml_pass_at_k and ml_calibration_bins (plans/eval_r8.py): sample
+outcomes / scored predictions arrive as a stream, the per-key ledger
+accumulates in ONE stateful aggregation, and the exact fixed-point
+report columns are a stateless projection on top.
 
 Why this shape: Structured Streaming allows a single stateful
-aggregation per query, so the cross-task mean that the batch query
-reports is NOT computed stream-side — it is a trivial rollup of the
-per-task sink (any consumer can run it per refresh); the part that
-needs streaming state is exactly the per-task (n, c) ledger, and that
-is the one aggregation here. The pass@k columns reuse the identical
-staged-decimal expression the batch query certifies against DuckDB
-(_pass_sql), so stream and batch produce bit-identical integers —
-pinned by tests/test_streaming_evals.py.
+aggregation per query, so cross-group rollups the batch queries report
+(the cross-task mean; the n-weighted ECE) are NOT computed stream-side
+— they are trivial rollups of the per-key sink (any consumer can run
+them per refresh); the part that needs streaming state is exactly the
+per-task (n, c) ledger / per-bin (n, sum_conf, n_pos) ledger, and that
+is the one aggregation in each query. The report columns reuse the
+identical staged-decimal expressions the batch queries certify against
+DuckDB (_pass_sql; the _cal_binned projection + trunc-div gaps), so
+stream and batch produce bit-identical integers — pinned by
+tests/test_streaming_evals.py.
 
-At scale: the state is |tasks| rows of two longs (an eval suite has
-thousands of tasks, not billions) — state size is bounded by the task
-universe, independent of how many sample outcomes stream through.
+At scale: pass@k state is |tasks| rows of two longs (an eval suite has
+thousands of tasks, not billions); calibration state is <= _CAL_BINS
+rows of three longs — both bounded by the key universe, independent of
+how many outcomes stream through.
 """
 
 from __future__ import annotations
@@ -24,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from p6_spark.plans.eval_r8 import _N_TASKS, _PASS_KS, _pass_sql
+from p6_spark.plans.eval_r8 import _N_TASKS, _PASS_KS, _cal_binned, _pass_sql
 
 OUTCOMES_SCHEMA = T.StructType(
     [
@@ -68,3 +72,71 @@ def pass_at_k_stream(outcomes: DataFrame) -> DataFrame:
         for k in _PASS_KS
     ]
     return per_task.select("task_id", "n", "c", *cols)
+
+
+SCORED_SCHEMA = T.StructType(
+    [
+        T.StructField("l_quantity", T.DoubleType(), True),
+        T.StructField("l_extendedprice", T.DoubleType(), True),
+    ]
+)
+
+
+def read_scored_stream(spark, sf_dir: str) -> DataFrame:
+    """Scored-prediction stream from the lineitem files (confidence =
+    scaled quantity, outcome = price threshold — the same synthetic
+    scored panel as ml_calibration_bins). Parquet column pruning
+    applies: only the two declared columns are read."""
+    return (
+        spark.readStream.schema(SCORED_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "lineitem.parquet")
+        .load(sf_dir)
+    )
+
+
+def calibration_bins_stream(scored: DataFrame) -> DataFrame:
+    """Running reliability table: ONE streaming aggregation to the
+    per-bin (n, sum_conf, n_pos) ledger — the _cal_binned projection is
+    the SAME Column expressions the batch query certifies against
+    DuckDB — then mean confidence, empirical accuracy, and |gap| as
+    exact x1e6 stateless projections. ECE (the n-weighted cross-bin
+    mean gap) is deliberately NOT here: it needs a second aggregation,
+    so it rolls up from the sink per refresh (ece_from_bins), the
+    pass@k-mean pattern. Works identically on a batch DataFrame (the
+    parity test runs this very function on one)."""
+    per_bin = (
+        _cal_binned(scored)
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("conf_x1e6").alias("sum_conf"),
+            F.sum("y").cast("long").alias("n_pos"),
+        )
+    )
+    return per_bin.select(
+        "bin",
+        "n",
+        F.expr("sum_conf div n").alias("mean_conf_x1e6"),
+        F.expr("(cast(n_pos as decimal(38,0)) * 1000000) div n").alias(
+            "acc_x1e6"
+        ),
+    ).select(
+        "bin",
+        "n",
+        "mean_conf_x1e6",
+        "acc_x1e6",
+        F.abs(F.col("mean_conf_x1e6") - F.col("acc_x1e6")).alias("gap_x1e6"),
+    )
+
+
+def ece_from_bins(bins: DataFrame) -> DataFrame:
+    """The batch-side rollup of a calibration_bins_stream sink: the
+    n-weighted mean gap, the identical staged-decimal expression
+    ml_calibration_bins uses — so sink + rollup reproduces the batch
+    report's ece_x1e6 exactly."""
+    return bins.agg(
+        F.expr(
+            "sum(cast(n as decimal(38,0)) * gap_x1e6) div sum(n)"
+        ).alias("ece_x1e6")
+    )
