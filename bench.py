@@ -60,6 +60,13 @@ def r7_names() -> list[str]:
         return json.load(f).get("r7", [])
 
 
+def r9_names() -> list[str]:
+    """Round-9 eval-rigor/budget additions (BENCH_MANIFEST 'r9'):
+    timed, reported in "queries" + "r9_total"."""
+    with open(_MANIFEST) as f:
+        return json.load(f).get("r9", [])
+
+
 def r8_names() -> list[str]:
     """Fifth manifest section (appended round 8): the curation family
     (shard balance, curriculum order, dataloader plan, mutual-kNN
@@ -104,7 +111,10 @@ def main() -> None:
     r6 = [n for n in r6_names() if n in qs and n not in head and n not in iters]
     r7 = [n for n in r7_names() if n in qs and n not in head + iters + r6]
     r8 = [n for n in r8_names() if n in qs and n not in head + iters + r6 + r7]
-    names = list(qs) if args.all else head + iters + r6 + r7 + r8
+    r9 = [
+        n for n in r9_names() if n in qs and n not in head + iters + r6 + r7 + r8
+    ]
+    names = list(qs) if args.all else head + iters + r6 + r7 + r8 + r9
     # Optional comma-separated subset for local iteration / regression
     # bisection (e.g. SPARK_GRAFT_BENCH_QUERIES=q01_pricing_summary,q06_...)
     only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
@@ -116,6 +126,7 @@ def main() -> None:
         r6 = [n for n in r6 if n in keep]
         r7 = [n for n in r7 if n in keep]
         r8 = [n for n in r8 if n in keep]
+        r9 = [n for n in r9 if n in keep]
 
     # Warmup: run every query once (untimed) so JVM startup +
     # WholeStageCodegen (Janino) compilation isn't billed to the timed
@@ -180,6 +191,8 @@ def main() -> None:
         out["r7_total"] = round(sum(timings[n] for n in r7), 4)
     if not args.all and r8:
         out["r8_total"] = round(sum(timings[n] for n in r8), 4)
+    if not args.all and r9:
+        out["r9_total"] = round(sum(timings[n] for n in r9), 4)
     if args.all:
         fams: dict[str, float] = {}
         for n, t in timings.items():

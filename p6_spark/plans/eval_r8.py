@@ -139,10 +139,12 @@ def ml_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ml_bt_strength",
-    oracle="""
-WITH ordered AS (
+# CTE chain ordered -> matches -> pair_counts(t_a, t_b, n_games, a_wins):
+# the pairwise-preference match stream (consecutive same-user events form
+# a match between their event types; higher value wins, ties break to the
+# lexicographically smaller type). Shared by ml_bt_strength and the
+# round-9 ml_winrate_wilson so the two preference reports cannot drift.
+_SQL_MATCH_CTES = """ordered AS (
   SELECT user_id, event_id, event_type, value,
          lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type,
          lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value
@@ -164,7 +166,55 @@ pair_counts AS (
          count(*) AS n_games,
          cast(sum(CASE WHEN winner < loser THEN 1 ELSE 0 END) AS bigint) AS a_wins
   FROM matches GROUP BY 1, 2
-),
+)"""
+
+
+def _pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(t_a, t_b, n_games, a_wins): the Spark twin of _SQL_MATCH_CTES."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    ordered = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("value").over(w).alias("prev_value"),
+    )
+    a_beats = (F.col("value") > F.col("prev_value")) | (
+        (F.col("value") == F.col("prev_value"))
+        & (F.col("event_type") < F.col("prev_type"))
+    )
+    matches = ordered.filter(
+        F.col("prev_type").isNotNull() & (F.col("prev_type") != F.col("event_type"))
+    ).select(
+        F.when(a_beats, F.col("event_type")).otherwise(F.col("prev_type")).alias(
+            "winner"
+        ),
+        F.when(a_beats, F.col("prev_type")).otherwise(F.col("event_type")).alias(
+            "loser"
+        ),
+    )
+    return (
+        matches.select(
+            F.least("winner", "loser").alias("t_a"),
+            F.greatest("winner", "loser").alias("t_b"),
+            F.when(F.col("winner") < F.col("loser"), 1).otherwise(0).alias("a_win"),
+        )
+        .groupBy("t_a", "t_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_games"),
+            F.sum("a_win").cast("long").alias("a_wins"),
+        )
+    )
+
+
+@register(
+    "ml_bt_strength",
+    oracle=f"""
+WITH {_SQL_MATCH_CTES},
 sided AS (
   SELECT t_a AS t, t_b AS opp, n_games, a_wins AS wins FROM pair_counts
   UNION ALL
@@ -226,44 +276,7 @@ ORDER BY event_type
     tags=("ml", "preference", "fixed-point", "window"),
 )
 def ml_bt_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
-    ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("event_id")
-    ordered = ev.select(
-        "user_id",
-        "event_id",
-        "event_type",
-        "value",
-        F.lag("event_type").over(w).alias("prev_type"),
-        F.lag("value").over(w).alias("prev_value"),
-    )
-    a_beats = (F.col("value") > F.col("prev_value")) | (
-        (F.col("value") == F.col("prev_value"))
-        & (F.col("event_type") < F.col("prev_type"))
-    )
-    matches = ordered.filter(
-        F.col("prev_type").isNotNull() & (F.col("prev_type") != F.col("event_type"))
-    ).select(
-        F.when(a_beats, F.col("event_type")).otherwise(F.col("prev_type")).alias(
-            "winner"
-        ),
-        F.when(a_beats, F.col("prev_type")).otherwise(F.col("event_type")).alias(
-            "loser"
-        ),
-    )
-    pair_counts = (
-        matches.select(
-            F.least("winner", "loser").alias("t_a"),
-            F.greatest("winner", "loser").alias("t_b"),
-            F.when(F.col("winner") < F.col("loser"), 1).otherwise(0).alias("a_win"),
-        )
-        .groupBy("t_a", "t_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_games"),
-            F.sum("a_win").cast("long").alias("a_wins"),
-        )
-    )
+    pair_counts = _pair_counts(spark, sf_dir)
     sided = pair_counts.select(
         F.col("t_a").alias("t"),
         F.col("t_b").alias("opp"),

@@ -2305,7 +2305,7 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dd_cluster_best",
     oracle=f"""
-WITH RECURSIVE {_sql_minhash_sig('TRUE')},
+WITH {_sql_minhash_sig('TRUE')},
 bands AS (
   SELECT doc_id, 0 AS band_idx, cast(h0 AS varchar) || '_' || cast(h1 AS varchar) AS band_val FROM sig
   UNION ALL
@@ -2328,17 +2328,12 @@ pairs AS (
   FROM sb a JOIN sb b
     ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT id_a AS u, id_b AS v FROM pairs
   UNION
   SELECT id_b, id_a FROM pairs
 ),
-reach AS (
-  SELECT u AS node, u AS label FROM edges
-  UNION
-  SELECT e.u, r.label FROM edges e JOIN reach r ON r.node = e.v
-),
-comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+{_sql_bounded_cc()},
 ranked AS (
   SELECT comp.component, comp.node AS doc_id, d.n_chars,
          row_number() OVER (PARTITION BY comp.component
@@ -2357,7 +2352,9 @@ ORDER BY component
     "arbitrary one. Composes dd_cc_clusters' min-label components with a "
     "quality join + per-component ranking window: one extra broadcast-"
     "size join and one shuffle on component beyond the CC rounds. "
-    "Oracle replays components recursively then applies the same window. "
+    "Oracle replays components via the BOUNDED-ROUND min-label twin "
+    "(_sql_bounded_cc — round-9, same skew1.0-feasibility fix as "
+    "dd_cc_clusters) then applies the same window. "
     "Candidate graph carries the max_bucket=20 cap (see dd_cc_clusters).",
     tags=("dedup", "graph", "quality", "composition"),
 )

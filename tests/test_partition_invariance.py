@@ -108,6 +108,14 @@ INVARIANT_QUERIES = [
     "pipe_post_dedup_mixture",  # CC survivors x water-filling totals
     "ml_calibration_bins",      # x1e6 reliability table + weighted ECE
     "ml_brier_decomposition",   # x1e12 Murphy components
+    # round-9 eval-rigor + budgeted-curation batch
+    "ml_mcnemar_test",          # 2x2 paired counters + x1e6 chi2
+    "ml_average_precision",     # two-phase rank + x1e6 precision sums
+    "ml_macro_f1",              # confusion cells + x1e6 harmonic means
+    "ml_winrate_wilson",        # exact-int inputs into IEEE sqrt bounds
+    "pipe_quality_budget_cut",  # two-phase cumsum vs broadcast budget
+    "pipe_data_epochs",         # decimal-staged 5-row epoch grants
+    "dd_decontam_ngram13",      # broadcast 13-gram any-hit flags
 ]
 
 
