@@ -255,6 +255,34 @@ PICKS = {
         "integer-exact scalar row — the continuous monitor for silent "
         "recall collapse."
     ),
+    "ml_average_precision": (
+        "Exact AP (round 9): the global rank + running positive count "
+        "is the two-phase prefix rank — bucket ranks are partition-"
+        "local windows, the <=64-row offset summary broadcasts back — "
+        "then ONE final aggregate; no unpartitioned WindowExec anywhere, "
+        "so the ranking survives a corpus no executor can sort."
+    ),
+    "pipe_quality_budget_cut": (
+        "Budget cut (round 9): quality scores stay in codegen (size/"
+        "array_distinct on the tokenized column, bigint-staged x1e6 "
+        "div); the running token sum is the same two-phase rank shape; "
+        "the budget attaches as a broadcast 1-row aggregate and the "
+        "manifest is one hash aggregate — three Exchanges total, each "
+        "on keys that scale."
+    ),
+    "dd_decontam_ngram13": (
+        "13-gram decontamination (round 9): bench shingles (the ~1% "
+        "eval split) build the broadcast side; the training shingle "
+        "stream joins map-side (BroadcastHashJoin) with no shuffle of "
+        "the corpus; per-source rollup is the only Exchange. At 100 TB "
+        "the eval set is still the small side by construction."
+    ),
+    "ml_winrate_wilson": (
+        "Wilson battle matrix (round 9): per-user lag windows partition "
+        "on user_id (bounded groups, count scales), one map-side-"
+        "combined aggregate to the |types|^2 matrix, then row-local "
+        "IEEE-sqrt arithmetic on 25 rows — no join, no second shuffle."
+    ),
 }
 
 
