@@ -67,6 +67,13 @@ def r9_names() -> list[str]:
         return json.load(f).get("r9", [])
 
 
+def r9b_names() -> list[str]:
+    """Round-9 measurement-trust additions (BENCH_MANIFEST 'r9b'):
+    timed, reported in "queries" + "r9b_total"."""
+    with open(_MANIFEST) as f:
+        return json.load(f).get("r9b", [])
+
+
 def r8_names() -> list[str]:
     """Fifth manifest section (appended round 8): the curation family
     (shard balance, curriculum order, dataloader plan, mutual-kNN
@@ -114,7 +121,12 @@ def main() -> None:
     r9 = [
         n for n in r9_names() if n in qs and n not in head + iters + r6 + r7 + r8
     ]
-    names = list(qs) if args.all else head + iters + r6 + r7 + r8 + r9
+    r9b = [
+        n
+        for n in r9b_names()
+        if n in qs and n not in head + iters + r6 + r7 + r8 + r9
+    ]
+    names = list(qs) if args.all else head + iters + r6 + r7 + r8 + r9 + r9b
     # Optional comma-separated subset for local iteration / regression
     # bisection (e.g. SPARK_GRAFT_BENCH_QUERIES=q01_pricing_summary,q06_...)
     only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
@@ -127,6 +139,7 @@ def main() -> None:
         r7 = [n for n in r7 if n in keep]
         r8 = [n for n in r8 if n in keep]
         r9 = [n for n in r9 if n in keep]
+        r9b = [n for n in r9b if n in keep]
 
     # Warmup: run every query once (untimed) so JVM startup +
     # WholeStageCodegen (Janino) compilation isn't billed to the timed
@@ -193,6 +206,8 @@ def main() -> None:
         out["r8_total"] = round(sum(timings[n] for n in r8), 4)
     if not args.all and r9:
         out["r9_total"] = round(sum(timings[n] for n in r9), 4)
+    if not args.all and r9b:
+        out["r9b_total"] = round(sum(timings[n] for n in r9b), 4)
     if args.all:
         fams: dict[str, float] = {}
         for n, t in timings.items():

@@ -130,6 +130,62 @@ def calibration_bins_stream(scored: DataFrame) -> DataFrame:
     )
 
 
+RANKED_SCHEMA = T.StructType(
+    [
+        T.StructField("q", T.LongType(), True),
+        T.StructField("rnk", T.IntegerType(), True),
+        T.StructField("gain", T.IntegerType(), True),
+    ]
+)
+
+
+def read_ranked_stream(spark, path: str) -> DataFrame:
+    """Ranked-retrieval-results stream: a serving system emits
+    (query, rank, gain) rows as result lists are scored — ranks are
+    assigned at serving time, so the stream needs no window (the one
+    part of ml_mrr_recall that isn't streamable). The parity test
+    materializes the batch panel (plans/retrieval_r9._ranked_panel)
+    to parquet and streams that."""
+    return (
+        spark.readStream.schema(RANKED_SCHEMA)
+        .format("parquet")
+        .load(path)
+    )
+
+
+def retrieval_ledger_stream(ranked: DataFrame) -> DataFrame:
+    """Running per-query retrieval ledger: ONE streaming aggregation to
+    (q, first_rel_rank, n_rel, rel5) — LITERALLY the same
+    retrieval_ledger function the batch query ml_mrr_recall certifies
+    against DuckDB (min/sum are streamable aggregates), so batch and
+    stream cannot drift — then the exact reciprocal-rank / recall@5
+    columns as stateless projections. The cross-query rollup (MRR,
+    hit@1/3, mean recall) is deliberately NOT here: it is a second
+    aggregation, so it rolls up from the sink per refresh
+    (plans/retrieval_r9.mrr_rollup — the ece_from_bins pattern).
+
+    At scale: state is |queries| rows of three longs — bounded by the
+    query universe, independent of how many result rows stream
+    through."""
+    from p6_spark.plans.retrieval_r9 import retrieval_ledger
+
+    led = retrieval_ledger(ranked)
+    return led.select(
+        "q",
+        "first_rel_rank",
+        "n_rel",
+        "rel5",
+        F.expr(
+            "CASE WHEN first_rel_rank IS NULL THEN cast(0 as bigint)"
+            " ELSE cast(1000000 as bigint) div first_rel_rank END"
+        ).alias("rr_x1e6"),
+        F.expr(
+            "CASE WHEN n_rel = 0 THEN cast(0 as bigint)"
+            " ELSE (rel5 * cast(1000000 as bigint)) div n_rel END"
+        ).alias("recall5_x1e6"),
+    )
+
+
 def ece_from_bins(bins: DataFrame) -> DataFrame:
     """The batch-side rollup of a calibration_bins_stream sink: the
     n-weighted mean gap, the identical staged-decimal expression

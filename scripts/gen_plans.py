@@ -283,6 +283,38 @@ PICKS = {
         "combined aggregate to the |types|^2 matrix, then row-local "
         "IEEE-sqrt arithmetic on 25 rows — no join, no second shuffle."
     ),
+    "ml_auc_delong": (
+        "DeLong AUC variance (round 9b): per-distinct-score "
+        "pre-aggregation bounds the input, the dual-class prefix is the "
+        "q_mannwhitney_u two-phase bucket rewrite (per-bucket windows "
+        "in parallel + a broadcast <=64-row bucket-offset table — no "
+        "unpartitioned WindowExec over data), and the whole statistic "
+        "reduces in one 1-row decimal aggregate."
+    ),
+    "dd_leakage_safe_split": (
+        "Leakage-safe split (round 9b): candidate pairs ride the capped "
+        "banded LSH generator (linear volume, certified), components "
+        "the bounded 25-round min-label loop with checkpoint lineage "
+        "cuts; the split itself is a stateless hash of the component "
+        "id, and the leak audit is two hash joins against the "
+        "checkpointed pair list — nothing in the plan grows faster "
+        "than the pair list itself."
+    ),
+    "ml_bootstrap_ci": (
+        "Poisson bootstrap (round 9b): the x20 replica explode reduces "
+        "IMMEDIATELY into a map-side-combined hash aggregate (20 "
+        "groups), so the shuffle carries 20 rows per partition, not "
+        "20x the data; the order-statistic window runs on exactly 20 "
+        "rows and the point estimate attaches as a broadcast 1-row "
+        "aggregate."
+    ),
+    "pipe_percentile_prune": (
+        "Percentile prune (round 9b): per-doc scoring stays in codegen; "
+        "the cumulative walk windows over the AGGREGATED (lang, score) "
+        "table — bounded at 1e6+1 rows per lang by the score's own "
+        "codomain, independent of corpus size — so the per-lang sort "
+        "never sees documents, only score buckets."
+    ),
 }
 
 

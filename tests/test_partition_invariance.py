@@ -116,6 +116,14 @@ INVARIANT_QUERIES = [
     "pipe_quality_budget_cut",  # two-phase cumsum vs broadcast budget
     "pipe_data_epochs",         # decimal-staged 5-row epoch grants
     "dd_decontam_ngram13",      # broadcast 13-gram any-hit flags
+    # round-9 measurement-trust batch
+    "ml_ndcg_at_5",             # literal-weight DCG/IDCG, per-query windows
+    "ml_mrr_recall",            # per-query ledger + x1e6 rollup
+    "ml_fleiss_kappa",          # HUGEINT-staged agreement rationals
+    "ml_auc_delong",            # two-phase placement prefix + stepwise vars
+    "ml_bootstrap_ci",          # md5-derandomized Poisson replicas
+    "dd_leakage_safe_split",    # component-hash split + leak audit
+    "pipe_percentile_prune",    # per-lang tie-atomic quantile cut
 ]
 
 

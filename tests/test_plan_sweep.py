@@ -33,6 +33,9 @@ UNPARTITIONED_WINDOW_OK = {
     "ml_decision_stump": "50 -> 50: quantity domain (1..50)",
     "ml_feature_importance": "<=50 -> <=50: per-feature value domains",
     "ml_kfold_assign": "50 -> 50: quantity domain (1..50)",
+    "ml_auc_delong": "<=4 -> <=4: bucket-offset rows (cents div 2^24, "
+    "price codomain) — the q_mannwhitney_u two-phase shape",
+    "ml_bootstrap_ci": "20 -> 20: bootstrap replica accuracies (B fixed)",
     "ml_mutual_info": "25 -> 25: 5x5 contingency cells",
     "q_autocorr_lag1": "80 -> 80: calendar weeks of the fixed range",
     "q_benford_audit": "9 -> 9: leading digits 1..9",
