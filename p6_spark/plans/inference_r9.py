@@ -1,0 +1,617 @@
+"""Round-9 inference-you-can-ship operators: the guarantees and
+corrections a team needs BEFORE acting on model outputs at scale —
+split-conformal prediction thresholds (distribution-free coverage),
+off-policy evaluation of a new policy from logged data (IPS/SNIPS),
+the design effect of cluster randomization (how much an A/B's
+effective sample size shrinks when you randomize by customer, not by
+order), and isotonic (PAV) calibration fitted over the bounded
+reliability ledger.
+
+House conventions throughout: exact x1e6/x1e12 fixed-point with trunc
+division identical on both engines, wide products staged
+decimal(38,0)/HUGEINT, degenerate inputs raise identically
+(raise_error / error), per-distinct-value pre-aggregation +
+two-phase prefix instead of global windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from p6_spark.plans.registry import register
+from p6_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# ml_conformal_threshold — split-conformal quantiles + holdout coverage
+# ---------------------------------------------------------------------------
+
+# coverage levels as alpha x 100 (10% / 5% / 1% miscoverage)
+_CONF_ALPHAS = [10, 5, 1]
+
+
+@register(
+    "ml_conformal_threshold",
+    oracle=f"""
+WITH scored AS (
+  SELECT l_orderkey,
+         abs(cast(round(l_extendedprice * 100, 0) AS bigint)
+             - cast(l_quantity AS bigint) * 100000) AS score,
+         l_orderkey % 2 = 0 AS is_cal
+  FROM lineitem
+),
+per_s AS (
+  SELECT score, cast(count(*) AS bigint) AS cnt
+  FROM scored WHERE is_cal GROUP BY score
+),
+cum AS (
+  SELECT score,
+         sum(cnt) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS cum_cnt,
+         sum(cnt) OVER () AS n_cal
+  FROM per_s
+),
+alphas AS (
+  SELECT * FROM (VALUES {", ".join(f"({a})" for a in _CONF_ALPHAS)})
+  AS a(alpha_x100)
+),
+ks AS (
+  SELECT alpha_x100, n_cal,
+         -- k = ceil((n_cal + 1) * (1 - alpha)) as pure integers:
+         -- ceil(x/y) = (x + y - 1) // y
+         ((n_cal + 1) * (100 - alpha_x100) + 99) // 100 AS k
+  FROM alphas CROSS JOIN (SELECT min(n_cal) AS n_cal FROM cum)
+),
+chk AS (
+  SELECT alpha_x100, n_cal,
+         CASE WHEN k > n_cal
+              THEN error('ml_conformal_threshold: calibration set too '
+                         'small for the requested coverage (k > n_cal)')
+              ELSE k END AS k
+  FROM ks
+),
+thr AS (
+  SELECT alpha_x100, ks.n_cal, k,
+         min(CASE WHEN cum_cnt >= k THEN score END) AS threshold
+  FROM chk ks CROSS JOIN cum
+  GROUP BY 1, 2, 3
+),
+hold AS (SELECT score FROM scored WHERE NOT is_cal)
+SELECT t.alpha_x100, cast(t.n_cal AS bigint) AS n_cal,
+       cast(t.k AS bigint) AS k, t.threshold,
+       cast(count(*) AS bigint) AS n_holdout,
+       cast((count(*) FILTER (WHERE h.score <= t.threshold) * 1000000)
+            // count(*) AS bigint) AS coverage_x1e6,
+       cast((100 - t.alpha_x100) * 10000 AS bigint) AS target_x1e6
+FROM thr t CROSS JOIN hold h
+GROUP BY 1, 2, 3, 4
+ORDER BY alpha_x100 DESC
+""",
+    doc="Split-conformal prediction thresholds — the distribution-free "
+    "coverage guarantee: for each miscoverage level alpha, the "
+    "threshold is the k-th smallest calibration nonconformity score "
+    "with k = ceil((n_cal + 1)(1 - alpha)) (pure integer ceiling "
+    "division), and any holdout prediction whose score is <= that "
+    "threshold is covered with probability >= 1 - alpha BY THEOREM, no "
+    "matter how wrong the model is. Panel: model = 'price is $1000 per "
+    "unit' (deliberately crude — conformal wraps ANY model), score = "
+    "absolute error in exact cents, calibration = even orderkeys. The "
+    "report pairs each threshold with its EMPIRICAL holdout coverage "
+    "(x1e6) next to the x1e6 target, so the guarantee is checked, not "
+    "asserted. k > n_cal (calibration set too small for the requested "
+    "level) raises identically in both engines. Scale shape: the order "
+    "statistic comes from per-distinct-score pre-aggregation + a "
+    "cumulative walk on that bounded table (the ml_auc_delong/"
+    "q_mannwhitney_u family rewrite; Spark side buckets the prefix "
+    "two-phase) — never a global sort of raw scores; coverage is one "
+    "broadcast (3-row) theta-join + hash aggregate.",
+    tags=("ml", "eval", "uncertainty", "fixed-point", "window"),
+)
+def ml_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    scored = li.select(
+        F.expr(
+            "abs(cast(round(l_extendedprice * 100, 0) as bigint)"
+            " - cast(l_quantity as bigint) * 100000)"
+        ).alias("score"),
+        (F.col("l_orderkey") % 2 == 0).alias("is_cal"),
+    )
+    per_s = (
+        scored.filter("is_cal")
+        .groupBy("score")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("bkt", F.expr("score div 16777216"))
+    )
+    per_bucket = per_s.groupBy("bkt").agg(F.sum("cnt").alias("bcnt"))
+    wb = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    prefixes = per_bucket.select(
+        "bkt",
+        F.coalesce(F.sum("bcnt").over(wb), F.lit(0)).alias("bprior"),
+        F.sum("bcnt").over(W.partitionBy()).alias("n_cal"),
+    )
+    wv = W.partitionBy("bkt").orderBy("score").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = per_s.join(F.broadcast(prefixes), "bkt").select(
+        "score",
+        (F.sum("cnt").over(wv) + F.col("bprior")).alias("cum_cnt"),
+        "n_cal",
+    )
+    alphas = spark.createDataFrame(
+        [(a,) for a in _CONF_ALPHAS], "alpha_x100 int"
+    )
+    n_cal = cum.agg(F.min("n_cal").alias("n_cal"))
+    ks = (
+        alphas.crossJoin(F.broadcast(n_cal))
+        .select(
+            "alpha_x100",
+            "n_cal",
+            F.expr(
+                "((n_cal + 1) * (100 - alpha_x100) + 99) div 100"
+            ).alias("k"),
+        )
+        .select(
+            "alpha_x100",
+            "n_cal",
+            F.when(
+                F.col("k") > F.col("n_cal"),
+                F.raise_error(
+                    F.lit(
+                        "ml_conformal_threshold: calibration set too "
+                        "small for the requested coverage (k > n_cal)"
+                    )
+                ).cast("long"),
+            )
+            .otherwise(F.col("k"))
+            .alias("k"),
+        )
+    )
+    thr = (
+        F.broadcast(ks)
+        .crossJoin(cum.drop("n_cal"))
+        .groupBy("alpha_x100", "n_cal", "k")
+        .agg(
+            F.min(
+                F.when(F.col("cum_cnt") >= F.col("k"), F.col("score"))
+            ).alias("threshold")
+        )
+    )
+    hold = scored.filter(~F.col("is_cal")).select("score")
+    return (
+        hold.crossJoin(F.broadcast(thr))
+        .groupBy("alpha_x100", "n_cal", "k", "threshold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_holdout"),
+            F.expr(
+                "cast((sum(CASE WHEN score <= threshold THEN 1 ELSE 0 END)"
+                " * cast(1000000 as bigint)) div count(1) AS bigint)"
+            ).alias("coverage_x1e6"),
+        )
+        .withColumn(
+            "target_x1e6",
+            F.expr("cast((100 - alpha_x100) * 10000 AS bigint)"),
+        )
+        .orderBy(F.desc("alpha_x100"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_ips_offpolicy — IPS / SNIPS off-policy evaluation from logged data
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_ips_offpolicy",
+    oracle="""
+WITH logged AS (
+  SELECT user_id % 10 AS ctx, event_type AS action,
+         CASE WHEN value >= 50 THEN 1 ELSE 0 END AS r
+  FROM events
+),
+cells AS (
+  SELECT ctx, action, cast(count(*) AS bigint) AS n_xa,
+         cast(sum(r) AS bigint) AS r_xa
+  FROM logged GROUP BY 1, 2
+),
+ctxs AS (
+  SELECT ctx, cast(sum(n_xa) AS bigint) AS n_x,
+         cast(count(*) AS bigint) AS n_actions
+  FROM cells GROUP BY ctx
+),
+weighted AS (
+  SELECT c.ctx, c.action, c.n_xa, c.r_xa,
+         (x.n_x * 1000000) // (x.n_actions * c.n_xa) AS w_x1e6
+  FROM cells c JOIN ctxs x USING (ctx)
+),
+t AS (
+  SELECT cast(sum(n_xa) AS bigint) AS n,
+         cast(sum(r_xa) AS bigint) AS n_rewarded,
+         cast(sum(r_xa::HUGEINT * w_x1e6) AS bigint) AS sum_rw,
+         cast(sum(n_xa::HUGEINT * w_x1e6) AS bigint) AS sum_w
+  FROM weighted
+)
+SELECT n, n_rewarded,
+       cast((n_rewarded * 1000000) // n AS bigint) AS logging_value_x1e6,
+       cast(sum_rw // n AS bigint) AS ips_x1e6,
+       cast((sum_rw::HUGEINT * 1000000) // sum_w AS bigint) AS snips_x1e6
+FROM t
+""",
+    doc="Off-policy evaluation by inverse propensity scoring — 'what "
+    "would a UNIFORM action policy have earned?' answered from logged "
+    "data alone, the counterfactual arithmetic behind every bandit / "
+    "RLHF policy comparison that cannot afford an online test. Logged "
+    "panel: context = user bucket, action = event type, reward = "
+    "value >= 50. Empirical logging propensity p_log(a|x) = n_xa/n_x; "
+    "target = uniform over the context's observed actions (1/|A_x|); "
+    "per-(ctx, action) cell weight w = p_tgt/p_log = n_x / (|A_x| * "
+    "n_xa) as an exact x1e6 trunc division — the estimator aggregates "
+    "over CELLS, not rows (rewards within a cell share the weight), so "
+    "the whole computation is one |ctx| x |actions| table. IPS = "
+    "sum(r * w)/n (unbiased, high variance); SNIPS = sum(r * w)/"
+    "sum(w) (self-normalized — trades a vanishing bias for bounded "
+    "variance; the sum_w it divides by is reported). The logged "
+    "policy's own mean reward sits alongside for the lift read. Scale "
+    "shape: ONE hash aggregate to the 50-cell table, broadcast "
+    "context totals, 1-row arithmetic — 100 TB of logs reduce "
+    "map-side.",
+    tags=("ml", "eval", "counterfactual", "fixed-point"),
+)
+def ml_ips_offpolicy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    logged = ev.select(
+        (F.col("user_id") % 10).alias("ctx"),
+        F.col("event_type").alias("action"),
+        F.when(F.col("value") >= 50, 1).otherwise(0).alias("r"),
+    )
+    cells = logged.groupBy("ctx", "action").agg(
+        F.count(F.lit(1)).cast("long").alias("n_xa"),
+        F.sum("r").cast("long").alias("r_xa"),
+    )
+    ctxs = cells.groupBy("ctx").agg(
+        F.sum("n_xa").cast("long").alias("n_x"),
+        F.count(F.lit(1)).cast("long").alias("n_actions"),
+    )
+    weighted = cells.join(F.broadcast(ctxs), "ctx").select(
+        "n_xa",
+        "r_xa",
+        F.expr("(n_x * 1000000) div (n_actions * n_xa)").alias("w_x1e6"),
+    )
+    t = weighted.agg(
+        F.sum("n_xa").cast("long").alias("n"),
+        F.sum("r_xa").cast("long").alias("n_rewarded"),
+        F.sum(F.expr("cast(r_xa as decimal(38,0)) * w_x1e6"))
+        .cast("long")
+        .alias("sum_rw"),
+        F.sum(F.expr("cast(n_xa as decimal(38,0)) * w_x1e6"))
+        .cast("long")
+        .alias("sum_w"),
+    )
+    return t.select(
+        "n",
+        "n_rewarded",
+        F.expr(
+            "cast((n_rewarded * cast(1000000 as bigint)) div n AS bigint)"
+        ).alias("logging_value_x1e6"),
+        F.expr("cast(sum_rw div n AS bigint)").alias("ips_x1e6"),
+        F.expr(
+            "cast((cast(sum_rw as decimal(38,0)) * 1000000) div sum_w"
+            " AS bigint)"
+        ).alias("snips_x1e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_design_effect — intraclass correlation + cluster-randomization DEFF
+# ---------------------------------------------------------------------------
+
+_DEFF_GUARD = "ml_design_effect: need >= 2 clusters and n > k"
+
+
+@register(
+    "ml_design_effect",
+    oracle=f"""
+WITH obs AS (
+  SELECT o_custkey AS cluster,
+         cast(round(o_totalprice * 100, 0) AS bigint) AS y
+  FROM orders
+),
+per_c AS (
+  SELECT cluster, cast(count(*) AS bigint) AS n_j,
+         cast(sum(y) AS bigint) AS s_j,
+         cast(sum(y::HUGEINT * y) AS HUGEINT) AS ss_j
+  FROM obs GROUP BY cluster
+),
+tot AS (
+  SELECT cast(count(*) AS bigint) AS k,
+         cast(sum(n_j) AS bigint) AS n,
+         cast(sum(s_j) AS bigint) AS s,
+         sum(ss_j) AS ssq,
+         sum((s_j::HUGEINT * s_j) // n_j) AS ssb_part,
+         cast(sum(n_j * n_j) AS bigint) AS sum_nj2
+  FROM per_c
+),
+chk AS (
+  SELECT CASE WHEN k < 2 OR n <= k THEN error('{_DEFF_GUARD}')
+              ELSE k END AS k,
+         n, s, ssq, ssb_part, sum_nj2
+  FROM tot
+),
+ms AS (
+  -- mean squares only: every quotient lands on a size-INDEPENDENT
+  -- mean-square scale (fits bigint at any N); raw sums stay HUGEINT
+  SELECT k, n,
+         (n::HUGEINT * ssb_part - s::HUGEINT * s)
+           // ((k - 1)::HUGEINT * n) AS msb,
+         (ssq - ssb_part) // (n - k) AS msw,
+         ((n - sum_nj2 // n) * 1000000) // (k - 1) AS n0_x1e6,
+         (n * 1000000) // k AS mbar_x1e6
+  FROM chk
+),
+icc AS (
+  SELECT k, n, cast(msb AS bigint) AS msb, cast(msw AS bigint) AS msw,
+         cast(n0_x1e6 AS bigint) AS n0_x1e6, cast(mbar_x1e6 AS bigint)
+           AS mbar_x1e6,
+         cast(((msb - msw)::HUGEINT * 1000000000000)
+              // (msb::HUGEINT * 1000000
+                  + (n0_x1e6 - 1000000)::HUGEINT * msw)
+              AS bigint) AS icc_x1e6
+  FROM ms
+)
+SELECT k, n, msb, msw, n0_x1e6, mbar_x1e6, icc_x1e6,
+       cast(1000000 + ((mbar_x1e6 - 1000000)::HUGEINT * icc_x1e6) // 1000000
+            AS bigint) AS deff_x1e6
+FROM icc
+""",
+    doc="Intraclass correlation + design effect for cluster-randomized "
+    "experiments — the correction every A/B that randomizes by "
+    "CUSTOMER but measures by ORDER must apply before quoting a "
+    "p-value: observations inside a cluster are correlated, so the "
+    "effective sample size shrinks by DEFF = 1 + (m_bar - 1) * ICC "
+    "(Kish). Panel: cluster = customer, y = order total in exact "
+    "cents. One-way ANOVA estimator, all integer: per-cluster "
+    "(n_j, s_j, sum y^2), between-cluster part as the DOCUMENTED "
+    "trunc division s_j^2 // n_j summed in HUGEINT/decimal, and MSB = "
+    "(n * ssb_part - s^2) // ((k-1) * n) so every quotient lands on "
+    "the size-INDEPENDENT mean-square scale — Spark's div returns "
+    "BIGINT, so a quotient that grows with N (the naive s^2/n grand "
+    "term) would overflow exactly where the data gets big; this "
+    "formulation holds to decimal(38,0)'s ~1e38 on the raw sums. "
+    "MSW one trunc division, the unbalanced-design n0 = "
+    "(n - sum n_j^2 / n)/(k - 1) as x1e6, ICC = (MSB - MSW)/(MSB + "
+    "(n0 - 1) MSW) cross-multiplied into one x1e6 trunc division "
+    "(negative ICC — clusters LESS similar than chance — truncates "
+    "identically on both engines). Degenerate panels (k < 2 or "
+    "n <= k) raise identically. Scale shape: one hash aggregate per "
+    "cluster, one 1-row reduce — no window, no join; 100 TB of "
+    "observations with billions of clusters reduce map-side "
+    "(decimal-staged sums hold to ~1e38).",
+    tags=("ml", "eval", "experiment", "fixed-point"),
+)
+def ml_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    obs = o.select(
+        F.col("o_custkey").alias("cluster"),
+        F.expr("cast(round(o_totalprice * 100, 0) as bigint)").alias("y"),
+    )
+    per_c = obs.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_j"),
+        F.sum("y").cast("long").alias("s_j"),
+        F.sum(F.expr("cast(y as decimal(38,0)) * y")).alias("ss_j"),
+    )
+    tot = per_c.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_j").cast("long").alias("n"),
+        F.sum("s_j").cast("long").alias("s"),
+        F.sum("ss_j").alias("ssq"),
+        # inner trunc div fits bigint per cluster (bounded cluster mass);
+        # the SUM re-stages decimal — it crossed int64 at sf0.01 already
+        F.sum(
+            F.expr(
+                "cast((cast(s_j as decimal(38,0)) * s_j) div n_j"
+                " as decimal(38,0))"
+            )
+        ).alias("ssb_part"),
+        F.sum(F.expr("n_j * n_j")).cast("long").alias("sum_nj2"),
+    )
+    chk = tot.select(
+        F.when(
+            (F.col("k") < 2) | (F.col("n") <= F.col("k")),
+            F.raise_error(F.lit(_DEFF_GUARD)).cast("long"),
+        )
+        .otherwise(F.col("k"))
+        .alias("k"),
+        "n",
+        "s",
+        "ssq",
+        "ssb_part",
+        "sum_nj2",
+    )
+    # mean squares only: Spark `div` returns BIGINT, so every quotient
+    # must land on the size-independent mean-square scale — never divide
+    # a grand sum-of-squares by a row count expecting a huge quotient
+    ms = chk.select(
+        "k",
+        "n",
+        F.expr(
+            "(n * ssb_part - cast(s as decimal(38,0)) * s)"
+            " div (cast(k - 1 as decimal(38,0)) * n)"
+        ).alias("msb"),
+        F.expr("(ssq - ssb_part) div (n - k)").alias("msw"),
+        F.expr("((n - sum_nj2 div n) * cast(1000000 as bigint)) div (k - 1)").alias(
+            "n0_x1e6"
+        ),
+        F.expr("(n * cast(1000000 as bigint)) div k").alias("mbar_x1e6"),
+    )
+    icc = ms.select(
+        "k",
+        "n",
+        F.col("msb").cast("long").alias("msb"),
+        F.col("msw").cast("long").alias("msw"),
+        F.col("n0_x1e6").cast("long").alias("n0_x1e6"),
+        F.col("mbar_x1e6").cast("long").alias("mbar_x1e6"),
+        F.expr(
+            "cast((cast(msb - msw as decimal(38,0)) * 1000000000000)"
+            " div (cast(msb as decimal(38,0)) * 1000000"
+            "      + cast(n0_x1e6 - 1000000 as decimal(38,0)) * msw)"
+            " AS bigint)"
+        ).alias("icc_x1e6"),
+    )
+    return icc.select(
+        "k",
+        "n",
+        "msb",
+        "msw",
+        "n0_x1e6",
+        "mbar_x1e6",
+        "icc_x1e6",
+        F.expr(
+            "cast(1000000 + (cast(mbar_x1e6 - 1000000 as decimal(38,0))"
+            " * icc_x1e6) div 1000000 AS bigint)"
+        ).alias("deff_x1e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_isotonic_calibration — PAV fit over the bounded reliability ledger
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_isotonic_calibration",
+    oracle="""
+WITH scored AS (
+  SELECT least(1000000, greatest(0, cast(l_quantity AS bigint) * 20000))
+           AS conf_x1e6,
+         CASE WHEN l_extendedprice >= 30000 THEN 1 ELSE 0 END AS y
+  FROM lineitem
+),
+binned AS (
+  SELECT least(9, conf_x1e6 // 100000) AS bin, conf_x1e6, y FROM scored
+),
+per_bin AS (
+  SELECT bin, cast(count(*) AS bigint) AS n,
+         cast(sum(conf_x1e6) AS bigint) AS sum_conf,
+         cast(sum(y) AS bigint) AS n_pos
+  FROM binned GROUP BY bin
+),
+cum AS (
+  SELECT bin, n, sum_conf, n_pos,
+         sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cn,
+         sum(n_pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cp
+  FROM per_bin
+),
+intervals AS (
+  -- rate over bins [j..k]: cumulative differences, j-exclusive prefix
+  -- carried as (cn_j - n_j, cp_j - n_pos_j) so no bin-1 lookup needed
+  SELECT j.bin AS jb, k.bin AS kb,
+         ((k.cp - (j.cp - j.n_pos))::HUGEINT * 1000000)
+           // (k.cn - (j.cn - j.n)) AS avg_x1e6
+  FROM cum j
+  JOIN cum k ON k.bin >= j.bin
+),
+minimax AS (
+  SELECT b.bin,
+         max(mn.min_avg) AS iso_x1e6
+  FROM per_bin b
+  JOIN (
+    SELECT i.jb, b2.bin,
+           cast(min(i.avg_x1e6) AS bigint) AS min_avg
+    FROM per_bin b2
+    JOIN intervals i ON i.jb <= b2.bin AND i.kb >= b2.bin
+    GROUP BY i.jb, b2.bin
+  ) mn ON mn.bin = b.bin AND mn.jb <= b.bin
+  GROUP BY b.bin
+)
+SELECT p.bin, p.n,
+       cast(p.sum_conf // p.n AS bigint) AS mean_conf_x1e6,
+       cast((p.n_pos::HUGEINT * 1000000) // p.n AS bigint) AS acc_x1e6,
+       m.iso_x1e6
+FROM per_bin p JOIN minimax m USING (bin)
+ORDER BY p.bin
+""",
+    doc="Isotonic (PAV) calibration fitted over the reliability ledger — "
+    "the nonparametric recalibration map every scored model ships with "
+    "when Platt's sigmoid is too rigid: the isotonic fit at bin i is "
+    "the minimax formula max over j <= i of (min over intervals "
+    "[j, k] containing i of the interval's positive rate), which on "
+    "the BOUNDED 10-bin ledger is an exact enumeration — 55 interval "
+    "rates (cumulative-difference trunc divisions, x1e6), a 10 x 55 "
+    "containment join, min-then-max. The trunc happens per interval "
+    "rate, identically in both engines, so the fitted map is "
+    "bit-identical (and monotone by construction — gated in tests "
+    "against a pool-adjacent-violators reference). Shares the exact "
+    "binning projection with ml_calibration_bins (same scored panel). "
+    "Scale shape: ONE hash aggregate to 10 bins; everything after is "
+    "constant-size (55-interval) arithmetic — the PAV itself never "
+    "sees a row, which is the only way isotonic regression runs on "
+    "100 TB.",
+    tags=("ml", "eval", "calibration", "fixed-point"),
+)
+def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p6_spark.plans.eval_r8 import _cal_binned
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per_bin = (
+        _cal_binned(li)
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("conf_x1e6").cast("long").alias("sum_conf"),
+            F.sum("y").cast("long").alias("n_pos"),
+        )
+        .localCheckpoint()  # <= 10 rows; feeds three constant-size joins
+    )
+    wcum = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = per_bin.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.sum("n").over(wcum).alias("cn"),
+        F.sum("n_pos").over(wcum).alias("cp"),
+    )  # 10 rows — unpartitioned window is constant-size by construction
+    j = cum.select(
+        F.col("bin").alias("jb"),
+        (F.col("cn") - F.col("n")).alias("cn_jm"),
+        (F.col("cp") - F.col("n_pos")).alias("cp_jm"),
+    )
+    k = cum.select(
+        F.col("bin").alias("kb"), F.col("cn").alias("cn_k"), F.col("cp").alias("cp_k")
+    )
+    intervals = (
+        j.crossJoin(k)
+        .filter(F.col("kb") >= F.col("jb"))
+        .select(
+            "jb",
+            "kb",
+            F.expr(
+                "(cast(cp_k - cp_jm as decimal(38,0)) * 1000000)"
+                " div (cn_k - cn_jm)"
+            ).alias("avg_x1e6"),
+        )
+    )
+    bins = per_bin.select("bin")
+    mins = (
+        bins.crossJoin(intervals)
+        .filter((F.col("jb") <= F.col("bin")) & (F.col("kb") >= F.col("bin")))
+        .groupBy("jb", "bin")
+        .agg(F.min("avg_x1e6").cast("long").alias("min_avg"))
+    )
+    minimax = (
+        mins.filter(F.col("jb") <= F.col("bin"))
+        .groupBy("bin")
+        .agg(F.max("min_avg").alias("iso_x1e6"))
+    )
+    return (
+        per_bin.join(minimax, "bin")
+        .select(
+            "bin",
+            "n",
+            F.expr("cast(sum_conf div n AS bigint)").alias("mean_conf_x1e6"),
+            F.expr(
+                "cast((cast(n_pos as decimal(38,0)) * 1000000) div n"
+                " AS bigint)"
+            ).alias("acc_x1e6"),
+            "iso_x1e6",
+        )
+        .orderBy("bin")
+    )

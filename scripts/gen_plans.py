@@ -315,6 +315,22 @@ PICKS = {
         "codomain, independent of corpus size — so the per-lang sort "
         "never sees documents, only score buckets."
     ),
+    "ml_conformal_threshold": (
+        "Conformal thresholds (round 9b): the order statistic comes "
+        "from per-distinct-score pre-aggregation + the two-phase bucket "
+        "prefix (no global sort of raw scores anywhere in the plan); "
+        "the three (alpha, k) rows broadcast against the cumulative "
+        "table for thresholds and against the holdout stream for "
+        "coverage — both BroadcastHashJoins, one shuffle total (the "
+        "score group-by)."
+    ),
+    "ml_ips_offpolicy": (
+        "Off-policy IPS (round 9b): the estimator aggregates over "
+        "(context, action) CELLS, not rows — one map-side-combined "
+        "hash aggregate to 50 cells, a broadcast join for context "
+        "totals, and 1-row arithmetic; the plan never shuffles the "
+        "log stream again after the first reduce."
+    ),
 }
 
 

@@ -124,6 +124,10 @@ INVARIANT_QUERIES = [
     "ml_bootstrap_ci",          # md5-derandomized Poisson replicas
     "dd_leakage_safe_split",    # component-hash split + leak audit
     "pipe_percentile_prune",    # per-lang tie-atomic quantile cut
+    "ml_conformal_threshold",   # two-phase order statistic + coverage
+    "ml_ips_offpolicy",         # x1e6 cell weights, broadcast totals
+    "ml_design_effect",         # decimal ANOVA sums, mean-square divs
+    "ml_isotonic_calibration",  # bounded-ledger minimax PAV
 ]
 
 

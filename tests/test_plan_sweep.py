@@ -36,6 +36,10 @@ UNPARTITIONED_WINDOW_OK = {
     "ml_auc_delong": "<=4 -> <=4: bucket-offset rows (cents div 2^24, "
     "price codomain) — the q_mannwhitney_u two-phase shape",
     "ml_bootstrap_ci": "20 -> 20: bootstrap replica accuracies (B fixed)",
+    "ml_conformal_threshold": "<=2 -> <=2: bucket-offset rows (score div "
+    "2^24, error codomain) — the q_mannwhitney_u two-phase shape",
+    "ml_isotonic_calibration": "10 -> 10: reliability bins (ledger "
+    "bounded by _CAL_BINS)",
     "ml_mutual_info": "25 -> 25: 5x5 contingency cells",
     "q_autocorr_lag1": "80 -> 80: calendar weeks of the fixed range",
     "q_benford_audit": "9 -> 9: leading digits 1..9",
