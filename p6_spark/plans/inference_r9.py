@@ -249,7 +249,14 @@ FROM t
     "the whole computation is one |ctx| x |actions| table. IPS = "
     "sum(r * w)/n (unbiased, high variance); SNIPS = sum(r * w)/"
     "sum(w) (self-normalized — trades a vanishing bias for bounded "
-    "variance; the sum_w it divides by is reported). The logged "
+    "variance; the sum_w it divides by is reported). The SNIPS "
+    "denominator cannot be zero: at least one cell has n_xa <= "
+    "n_x / n_actions (the minimum-mass cell), so its weight is >= 1e6 "
+    "before truncation — sum_w >= 1e6 on ANY nonempty log, proven in "
+    "tests/test_guards_r9b.py by brute force over random panels; a "
+    "loud guard here would be dead code. Individual concentrated cells "
+    "CAN truncate to zero in > 1e6-action spaces (underweighting them; "
+    "the x1e6 scale is the documented resolution limit). The logged "
     "policy's own mean reward sits alongside for the lift read. Scale "
     "shape: ONE hash aggregate to the 50-cell table, broadcast "
     "context totals, 1-row arithmetic — 100 TB of logs reduce "

@@ -902,9 +902,14 @@ def dd_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipe_percentile_prune",
     oracle=f"""
 WITH scored AS (
-  SELECT doc_id, lang, cast(len(t) AS bigint) AS n_tok,
-         (cast(len(list_distinct(t)) AS bigint) * 1000000) // len(t)
-           AS qs
+  SELECT doc_id, lang,
+         CASE WHEN len(t) < 1
+              THEN error('pipe_percentile_prune: empty document — the '
+                         'quality score divides by the token count; '
+                         'filter or repair before pruning')
+              ELSE cast(len(t) AS bigint) END AS n_tok,
+         (cast(len(list_distinct(t)) AS bigint) * 1000000)
+           // greatest(len(t), 1) AS qs
   FROM (SELECT doc_id, lang, {_SQL_TOKENS} AS t FROM documents)
 ),
 per_s AS (
@@ -966,13 +971,29 @@ def pipe_percentile_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("lang", tokens(F.col("text")).alias("t"))
         .select(
             "lang",
-            F.size("t").cast("long").alias("n_tok"),
+            # loud-failure guard (the pipe_sequence_packing discipline):
+            # empty documents raise a NAMED error on both engines
+            F.when(F.size("t") >= 1, F.size("t").cast("long"))
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "pipe_percentile_prune: empty document — the "
+                        "quality score divides by the token count; "
+                        "filter or repair before pruning"
+                    )
+                ).cast("long")
+            )
+            .alias("n_tok"),
             # bigint BEFORE the multiply: F.size is INT32 (ADVICE r8)
             F.expr("cast(size(array_distinct(t)) as bigint) * 1000000").alias(
                 "_num"
             ),
         )
-        .select("lang", "n_tok", F.expr("_num div n_tok").alias("qs"))
+        .select(
+            "lang",
+            "n_tok",
+            F.expr("_num div greatest(n_tok, cast(1 as bigint))").alias("qs"),
+        )
     )
     per_s = scored.groupBy("lang", "qs").agg(
         F.count(F.lit(1)).alias("cnt"), F.sum("n_tok").alias("tok")

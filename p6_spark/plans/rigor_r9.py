@@ -404,8 +404,14 @@ def ml_winrate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipe_quality_budget_cut",
     oracle=f"""
 WITH scored AS (
-  SELECT doc_id, lang, len(t) AS n_tok,
-         (len(list_distinct(t)) * 1000000) // len(t) AS qscore_x1e6
+  SELECT doc_id, lang,
+         CASE WHEN len(t) < 1
+              THEN error('pipe_quality_budget_cut: empty document — the '
+                         'quality score divides by the token count; '
+                         'filter or repair before budgeting')
+              ELSE len(t) END AS n_tok,
+         (len(list_distinct(t)) * 1000000) // greatest(len(t), 1)
+           AS qscore_x1e6
   FROM (SELECT doc_id, lang, {_SQL_TOKENS} AS t FROM documents)
 ),
 ranked AS (
@@ -451,7 +457,21 @@ def pipe_quality_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "lang",
-            F.size("t").cast("long").alias("n_tok"),
+            # loud-failure guard (the pipe_sequence_packing discipline):
+            # an empty document would divide the score by zero — raise a
+            # NAMED error identically on both engines, not a bare
+            # DIVIDE_BY_ZERO
+            F.when(F.size("t") >= 1, F.size("t").cast("long"))
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "pipe_quality_budget_cut: empty document — the "
+                        "quality score divides by the token count; "
+                        "filter or repair before budgeting"
+                    )
+                ).cast("long")
+            )
+            .alias("n_tok"),
             # bigint BEFORE the multiply: F.size is INT32 (ADVICE r8)
             F.expr(
                 "cast(size(array_distinct(t)) as bigint) * 1000000"
@@ -461,7 +481,9 @@ def pipe_quality_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "lang",
             "n_tok",
-            F.expr("_num div n_tok").alias("qscore_x1e6"),
+            F.expr("_num div greatest(n_tok, cast(1 as bigint))").alias(
+                "qscore_x1e6"
+            ),
         )
     )
     ranked = two_phase_rank(

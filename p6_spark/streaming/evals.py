@@ -186,6 +186,60 @@ def retrieval_ledger_stream(ranked: DataFrame) -> DataFrame:
     )
 
 
+SCORES_SCHEMA = T.StructType([T.StructField("score", T.LongType(), True)])
+
+
+def read_scores_stream(spark, path: str) -> DataFrame:
+    """Holdout nonconformity-score stream: a serving system emits one
+    exact-integer score per prediction (ml_conformal_threshold's |error|
+    in cents). The parity test materializes the batch holdout split to
+    parquet and streams that."""
+    return (
+        spark.readStream.schema(SCORES_SCHEMA).format("parquet").load(path)
+    )
+
+
+def coverage_monitor_stream(
+    scores: DataFrame, thresholds: DataFrame
+) -> DataFrame:
+    """Running conformal-coverage monitor: the calibration thresholds
+    are a STATIC 3-row table (computed batch-side by
+    ml_conformal_threshold — split conformal calibrates once, monitors
+    forever), broadcast onto the score stream via a constant-key
+    stream-static join; the ledger is ONE streaming aggregation keyed
+    by the (alpha, n_cal, k, threshold) row, and the exact x1e6
+    coverage/target columns are the SAME expressions the batch query
+    certifies against DuckDB. When running coverage drops below
+    target - epsilon, the exchangeability assumption broke (drift) —
+    that is the alarm this monitor exists to raise.
+
+    At scale: state is |alphas| rows of two longs — independent of how
+    many predictions stream through."""
+    keyed = scores.withColumn("_k", F.lit(1)).join(
+        F.broadcast(thresholds.withColumn("_k", F.lit(1))), "_k"
+    )
+    led = keyed.groupBy("alpha_x100", "n_cal", "k", "threshold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_holdout"),
+        F.sum(F.when(F.col("score") <= F.col("threshold"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_covered"),
+    )
+    return led.select(
+        "alpha_x100",
+        "n_cal",
+        "k",
+        "threshold",
+        "n_holdout",
+        F.expr(
+            "cast((n_covered * cast(1000000 as bigint)) div n_holdout"
+            " AS bigint)"
+        ).alias("coverage_x1e6"),
+        F.expr("cast((100 - alpha_x100) * 10000 AS bigint)").alias(
+            "target_x1e6"
+        ),
+    )
+
+
 def ece_from_bins(bins: DataFrame) -> DataFrame:
     """The batch-side rollup of a calibration_bins_stream sink: the
     n-weighted mean gap, the identical staged-decimal expression
