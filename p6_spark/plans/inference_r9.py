@@ -313,11 +313,10 @@ def ml_ips_offpolicy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DEFF_GUARD = "ml_design_effect: need >= 2 clusters and n > k"
 
-
-@register(
-    "ml_design_effect",
-    oracle=f"""
-WITH obs AS (
+# Shared CTE chain (cluster sums -> guarded totals -> mean squares ->
+# ICC -> deff): ml_design_effect reports it; ml_mde_power consumes it.
+# One definition so the two cannot drift.
+_SQL_DEFF_CTES = f"""obs AS (
   SELECT o_custkey AS cluster,
          cast(round(o_totalprice * 100, 0) AS bigint) AS y
   FROM orders
@@ -363,11 +362,21 @@ icc AS (
                   + (n0_x1e6 - 1000000)::HUGEINT * msw)
               AS bigint) AS icc_x1e6
   FROM ms
-)
-SELECT k, n, msb, msw, n0_x1e6, mbar_x1e6, icc_x1e6,
-       cast(1000000 + ((mbar_x1e6 - 1000000)::HUGEINT * icc_x1e6) // 1000000
-            AS bigint) AS deff_x1e6
-FROM icc
+),
+deff AS (
+  SELECT k, n, msb, msw, n0_x1e6, mbar_x1e6, icc_x1e6,
+         cast(1000000
+              + ((mbar_x1e6 - 1000000)::HUGEINT * icc_x1e6) // 1000000
+              AS bigint) AS deff_x1e6
+  FROM icc
+)"""
+
+
+@register(
+    "ml_design_effect",
+    oracle=f"""
+WITH {_SQL_DEFF_CTES}
+SELECT * FROM deff
 """,
     doc="Intraclass correlation + design effect for cluster-randomized "
     "experiments — the correction every A/B that randomizes by "
@@ -395,6 +404,16 @@ FROM icc
     tags=("ml", "eval", "experiment", "fixed-point"),
 )
 def ml_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, deff = _deff_chain(spark, sf_dir)
+    return deff
+
+
+def _deff_chain(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(chk, deff): the guarded ANOVA totals and the final one-row deff
+    report — shared by ml_design_effect (reports deff) and ml_mde_power
+    (consumes both), mirroring the shared _SQL_DEFF_CTES."""
     o = load_table(spark, sf_dir, "orders")
     obs = o.select(
         F.col("o_custkey").alias("cluster"),
@@ -463,7 +482,7 @@ def ml_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS bigint)"
         ).alias("icc_x1e6"),
     )
-    return icc.select(
+    deff = icc.select(
         "k",
         "n",
         "msb",
@@ -475,6 +494,316 @@ def ml_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(1000000 + (cast(mbar_x1e6 - 1000000 as decimal(38,0))"
             " * icc_x1e6) div 1000000 AS bigint)"
         ).alias("deff_x1e6"),
+    )
+    return chk, deff
+
+
+# ---------------------------------------------------------------------------
+# ml_mde_power — minimum detectable effect for the next experiment
+# ---------------------------------------------------------------------------
+
+# z quantiles as x1e6 literals (Python-precomputed, embedded identically
+# in both engines — the nDCG-weights convention): two-sided alpha = 5%,
+# and power 80% / 90%.
+_Z_ALPHA_X1E6 = 1_959_964
+_POWERS = [(80, 841_621), (90, 1_281_552)]
+
+
+@register(
+    "ml_mde_power",
+    oracle=f"""
+WITH {_SQL_DEFF_CTES},
+stats AS (
+  SELECT cast((n::HUGEINT * ssq - s::HUGEINT * s)
+              // (n::HUGEINT * (n - 1)) AS bigint) AS var_c2,
+         cast(n // 2 AS bigint) AS n_arm,
+         cast(s // n AS bigint) AS mean_cents
+  FROM chk
+),
+powers AS (
+  SELECT * FROM (VALUES {", ".join(f"({p}, {z})" for p, z in _POWERS)})
+  AS p(power_x100, z_power_x1e6)
+),
+args AS (
+  SELECT power_x100, z_power_x1e6, n_arm, mean_cents, var_c2, d.deff_x1e6,
+         (2 * var_c2) // n_arm AS arg_srs,
+         cast((2 * var_c2::HUGEINT * d.deff_x1e6) // (n_arm * 1000000)
+              AS bigint) AS arg_deff
+  FROM powers CROSS JOIN stats CROSS JOIN deff d
+),
+m AS (
+  SELECT power_x100, n_arm, mean_cents, var_c2, deff_x1e6,
+         cast(round((({_Z_ALPHA_X1E6} + z_power_x1e6) / 1000000.0)
+                    * sqrt(arg_srs), 0) AS bigint) AS mde_cents,
+         cast(round((({_Z_ALPHA_X1E6} + z_power_x1e6) / 1000000.0)
+                    * sqrt(arg_deff), 0) AS bigint) AS mde_deff_cents
+  FROM args
+)
+SELECT power_x100, n_arm, mean_cents, var_c2, deff_x1e6, mde_cents,
+       mde_deff_cents,
+       cast((mde_cents * 1000000) // mean_cents AS bigint) AS mde_rel_x1e6,
+       cast((mde_deff_cents * 1000000) // mean_cents AS bigint)
+         AS mde_deff_rel_x1e6
+FROM m
+ORDER BY power_x100
+""",
+    doc="Minimum detectable effect for the next experiment — the "
+    "question a team asks BEFORE running an A/B ('what lift could we "
+    "even see at this traffic?'), answered from the current data's own "
+    "variance: MDE = (z_alpha/2 + z_power) * sqrt(2 s^2 / n_arm) for a "
+    "two-arm test splitting today's volume, at 80% and 90% power, "
+    "alpha 5% two-sided. The z quantiles are PYTHON-PRECOMPUTED x1e6 "
+    "literals embedded identically in both engines (the nDCG-weights "
+    "convention — no runtime inverse-normal anywhere); the variance is "
+    "the exact integer sample variance on the mean-square scale "
+    "((n*ssq - s^2) // (n(n-1)), the ml_design_effect overflow "
+    "lesson); the sqrt arguments are exact integers < 2^53 into "
+    "IEEE-correctly-rounded sqrt (the Wilson convention). Reported "
+    "twice: simple random assignment, and DEFF-inflated for CLUSTER "
+    "randomization — consuming the SAME deff CTE chain as "
+    "ml_design_effect (one definition, cannot drift), which is the "
+    "honest number when you randomize by customer. Relative MDE "
+    "(vs the mean, x1e6) is the headline a planning doc quotes. Scale "
+    "shape: everything reduces in the deff chain's per-cluster + 1-row "
+    "aggregates; the MDE arithmetic is 2-row constant work.",
+    tags=("ml", "eval", "experiment", "fixed-point"),
+)
+def ml_mde_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chk, deff = _deff_chain(spark, sf_dir)
+    stats = chk.select(
+        F.expr(
+            "cast((n * ssq - cast(s as decimal(38,0)) * s)"
+            " div (cast(n as decimal(38,0)) * (n - 1)) AS bigint)"
+        ).alias("var_c2"),
+        F.expr("cast(n div 2 AS bigint)").alias("n_arm"),
+        F.expr("cast(s div n AS bigint)").alias("mean_cents"),
+    )
+    powers = spark.createDataFrame(
+        _POWERS, "power_x100 int, z_power_x1e6 long"
+    )
+    args = (
+        F.broadcast(powers)
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(deff.select("deff_x1e6")))
+        .select(
+            "power_x100",
+            "z_power_x1e6",
+            "n_arm",
+            "mean_cents",
+            "var_c2",
+            "deff_x1e6",
+            F.expr("(2 * var_c2) div n_arm").alias("arg_srs"),
+            F.expr(
+                "cast((2 * cast(var_c2 as decimal(38,0)) * deff_x1e6)"
+                " div (n_arm * cast(1000000 as bigint)) AS bigint)"
+            ).alias("arg_deff"),
+        )
+    )
+    m = args.select(
+        "power_x100",
+        "n_arm",
+        "mean_cents",
+        "var_c2",
+        "deff_x1e6",
+        F.expr(
+            f"cast(round((({_Z_ALPHA_X1E6} + z_power_x1e6) / 1000000.0)"
+            " * sqrt(arg_srs), 0) AS bigint)"
+        ).alias("mde_cents"),
+        F.expr(
+            f"cast(round((({_Z_ALPHA_X1E6} + z_power_x1e6) / 1000000.0)"
+            " * sqrt(arg_deff), 0) AS bigint)"
+        ).alias("mde_deff_cents"),
+    )
+    return m.select(
+        "power_x100",
+        "n_arm",
+        "mean_cents",
+        "var_c2",
+        "deff_x1e6",
+        "mde_cents",
+        "mde_deff_cents",
+        F.expr(
+            "cast((mde_cents * cast(1000000 as bigint)) div mean_cents"
+            " AS bigint)"
+        ).alias("mde_rel_x1e6"),
+        F.expr(
+            "cast((mde_deff_cents * cast(1000000 as bigint)) div mean_cents"
+            " AS bigint)"
+        ).alias("mde_deff_rel_x1e6"),
+    ).orderBy("power_x100")
+
+
+# ---------------------------------------------------------------------------
+# ml_tost_equivalence — two one-sided tests: "is it NO WORSE?"
+# ---------------------------------------------------------------------------
+
+_TOST_GUARD = "ml_tost_equivalence: need >= 2 samples per arm"
+_Z_ONESIDED_X1E6 = 1_644_854  # z_{0.95}, Python-precomputed literal
+
+
+@register(
+    "ml_tost_equivalence",
+    oracle=f"""
+WITH vals AS (
+  SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a,
+         cast(round(value * 1000000, 0) AS bigint) AS v
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+g AS (
+  SELECT is_a, cast(count(*) AS bigint) AS n, cast(sum(v) AS bigint) AS s,
+         sum(v::HUGEINT * v) AS ssq
+  FROM vals GROUP BY is_a
+),
+w AS (
+  SELECT max(CASE WHEN is_a = 1 THEN n END) AS n_a,
+         max(CASE WHEN is_a = 1 THEN s END) AS s_a,
+         max(CASE WHEN is_a = 1 THEN ssq END) AS ssq_a,
+         max(CASE WHEN is_a = 0 THEN n END) AS n_b,
+         max(CASE WHEN is_a = 0 THEN s END) AS s_b,
+         max(CASE WHEN is_a = 0 THEN ssq END) AS ssq_b
+  FROM g
+),
+chk2 AS (
+  SELECT CASE WHEN n_a IS NULL OR n_b IS NULL OR n_a < 2 OR n_b < 2
+              THEN error('{_TOST_GUARD}')
+              ELSE n_a END AS n_a,
+         s_a, ssq_a, n_b, s_b, ssq_b
+  FROM w
+),
+stats AS (
+  SELECT n_a, n_b,
+         cast(s_a // n_a AS bigint) AS mean_a_x1e6,
+         cast(s_b // n_b AS bigint) AS mean_b_x1e6,
+         cast((n_a::HUGEINT * ssq_a - s_a::HUGEINT * s_a)
+              // (n_a::HUGEINT * (n_a - 1)) AS bigint) AS var_a,
+         cast((n_b::HUGEINT * ssq_b - s_b::HUGEINT * s_b)
+              // (n_b::HUGEINT * (n_b - 1)) AS bigint) AS var_b,
+         cast((s_a + s_b) // (n_a + n_b) AS bigint) AS pooled_mean_x1e6
+  FROM chk2
+),
+z AS (
+  SELECT n_a, n_b, mean_a_x1e6, mean_b_x1e6,
+         (pooled_mean_x1e6 * 5) // 100 AS delta_x1e6,
+         var_a // n_a + var_b // n_b AS se2
+  FROM stats
+)
+SELECT n_a, n_b, mean_a_x1e6, mean_b_x1e6,
+       cast(delta_x1e6 AS bigint) AS delta_x1e6,
+       cast(se2 AS bigint) AS se2,
+       cast(round((mean_a_x1e6 - mean_b_x1e6 + delta_x1e6) * 1000000.0
+                  / sqrt(se2), 0) AS bigint) AS z_lower_x1e6,
+       cast(round((mean_a_x1e6 - mean_b_x1e6 - delta_x1e6) * 1000000.0
+                  / sqrt(se2), 0) AS bigint) AS z_upper_x1e6,
+       CASE WHEN round((mean_a_x1e6 - mean_b_x1e6 + delta_x1e6) * 1000000.0
+                       / sqrt(se2), 0) >= {_Z_ONESIDED_X1E6}
+             AND round((mean_a_x1e6 - mean_b_x1e6 - delta_x1e6) * 1000000.0
+                       / sqrt(se2), 0) <= -{_Z_ONESIDED_X1E6}
+            THEN 'equivalent' ELSE 'not_equivalent' END AS verdict
+FROM z
+""",
+    doc="TOST equivalence test — the ship/no-ship question a "
+    "significance test cannot answer: 'is the new variant NO WORSE "
+    "than the old within a 5%-of-mean margin?' (absence of evidence "
+    "of a difference is NOT evidence of equivalence; TOST is the "
+    "correct frame). Two one-sided Welch z tests against the +-delta "
+    "margin: equivalent iff the lower z clears +z_0.95 AND the upper "
+    "clears -z_0.95 — the critical value a PYTHON-PRECOMPUTED x1e6 "
+    "literal in both engines (no runtime inverse-normal). Panel: "
+    "click vs purchase event values, margin = 5% of the pooled mean. "
+    "Exactness: per-arm (n, sum, sum-of-squares) reduce as "
+    "HUGEINT/decimal; means and the margin are x1e6 trunc divisions; "
+    "variances land on the mean-square scale ((n*ssq - s^2) // "
+    "(n(n-1)), the ml_design_effect formulation); se^2 = var_a/n_a + "
+    "var_b/n_b is an exact integer < 2^53 into IEEE sqrt, and the z "
+    "scores are one correctly-rounded float division each, identical "
+    "text both engines. Arms with < 2 samples raise identically. "
+    "Scale shape: ONE map-side-combined aggregate to two rows, then "
+    "1-row arithmetic — 100 TB of metric rows reduce in a single "
+    "pass.",
+    tags=("ml", "eval", "experiment", "fixed-point"),
+)
+def ml_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    vals = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_a"),
+        F.expr("cast(round(value * 1000000, 0) as bigint)").alias("v"),
+    )
+    g = vals.groupBy("is_a").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum(F.expr("cast(v as decimal(38,0)) * v")).alias("ssq"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("is_a") == 1, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("is_a") == 1, F.col("s"))).alias("s_a"),
+        F.max(F.when(F.col("is_a") == 1, F.col("ssq"))).alias("ssq_a"),
+        F.max(F.when(F.col("is_a") == 0, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("is_a") == 0, F.col("s"))).alias("s_b"),
+        F.max(F.when(F.col("is_a") == 0, F.col("ssq"))).alias("ssq_b"),
+    )
+    chk2 = w.select(
+        F.when(
+            F.col("n_a").isNull()
+            | F.col("n_b").isNull()
+            | (F.col("n_a") < 2)
+            | (F.col("n_b") < 2),
+            F.raise_error(F.lit(_TOST_GUARD)).cast("long"),
+        )
+        .otherwise(F.col("n_a"))
+        .alias("n_a"),
+        "s_a",
+        "ssq_a",
+        "n_b",
+        "s_b",
+        "ssq_b",
+    )
+    stats = chk2.select(
+        "n_a",
+        "n_b",
+        F.expr("cast(s_a div n_a AS bigint)").alias("mean_a_x1e6"),
+        F.expr("cast(s_b div n_b AS bigint)").alias("mean_b_x1e6"),
+        F.expr(
+            "cast((n_a * ssq_a - cast(s_a as decimal(38,0)) * s_a)"
+            " div (cast(n_a as decimal(38,0)) * (n_a - 1)) AS bigint)"
+        ).alias("var_a"),
+        F.expr(
+            "cast((n_b * ssq_b - cast(s_b as decimal(38,0)) * s_b)"
+            " div (cast(n_b as decimal(38,0)) * (n_b - 1)) AS bigint)"
+        ).alias("var_b"),
+        F.expr("cast((s_a + s_b) div (n_a + n_b) AS bigint)").alias(
+            "pooled_mean_x1e6"
+        ),
+    )
+    z = stats.select(
+        "n_a",
+        "n_b",
+        "mean_a_x1e6",
+        "mean_b_x1e6",
+        F.expr("(pooled_mean_x1e6 * 5) div 100").alias("delta_x1e6"),
+        F.expr("var_a div n_a + var_b div n_b").alias("se2"),
+    )
+    return z.select(
+        "n_a",
+        "n_b",
+        "mean_a_x1e6",
+        "mean_b_x1e6",
+        F.col("delta_x1e6").cast("long").alias("delta_x1e6"),
+        F.col("se2").cast("long").alias("se2"),
+        F.expr(
+            "cast(round((mean_a_x1e6 - mean_b_x1e6 + delta_x1e6) * 1000000.0"
+            " / sqrt(se2), 0) AS bigint)"
+        ).alias("z_lower_x1e6"),
+        F.expr(
+            "cast(round((mean_a_x1e6 - mean_b_x1e6 - delta_x1e6) * 1000000.0"
+            " / sqrt(se2), 0) AS bigint)"
+        ).alias("z_upper_x1e6"),
+        F.expr(
+            f"CASE WHEN round((mean_a_x1e6 - mean_b_x1e6 + delta_x1e6)"
+            f" * 1000000.0 / sqrt(se2), 0) >= {_Z_ONESIDED_X1E6}"
+            f" AND round((mean_a_x1e6 - mean_b_x1e6 - delta_x1e6)"
+            f" * 1000000.0 / sqrt(se2), 0) <= -{_Z_ONESIDED_X1E6}"
+            " THEN 'equivalent' ELSE 'not_equivalent' END"
+        ).alias("verdict"),
     )
 
 

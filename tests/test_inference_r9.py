@@ -346,3 +346,152 @@ def test_isotonic_shares_binning_with_calibration_bins(spark):
         assert iso[b]["n"] == cal[b]["n"]
         assert iso[b]["acc_x1e6"] == cal[b]["acc_x1e6"]
         assert iso[b]["mean_conf_x1e6"] == cal[b]["mean_conf_x1e6"]
+
+
+# ---------------------------------------------------------------------------
+# ml_mde_power
+# ---------------------------------------------------------------------------
+
+
+def test_mde_z_literals_are_the_inverse_normal_table():
+    """The embedded z quantiles ARE round(Phi^-1 * 1e6) — recomputed
+    via statistics.NormalDist so a typo cannot survive."""
+    from statistics import NormalDist
+
+    from p6_spark.plans.inference_r9 import (
+        _POWERS,
+        _Z_ALPHA_X1E6,
+        _Z_ONESIDED_X1E6,
+    )
+
+    nd = NormalDist()
+    assert _Z_ALPHA_X1E6 == round(nd.inv_cdf(0.975) * 1e6)
+    assert _Z_ONESIDED_X1E6 == round(nd.inv_cdf(0.95) * 1e6)
+    assert dict(_POWERS) == {
+        80: round(nd.inv_cdf(0.80) * 1e6),
+        90: round(nd.inv_cdf(0.90) * 1e6),
+    }
+
+
+def test_mde_matches_python_reference(spark):
+    from p6_spark.plans.inference_r9 import _POWERS, _Z_ALPHA_X1E6
+
+    o = _orders()
+    y = (o["o_totalprice"] * 100).round(0).astype("int64")
+    n, s = len(y), int(y.sum())
+    ssq = int((y.astype(object) ** 2).sum())
+    var_c2 = (n * ssq - s * s) // (n * (n - 1))
+    n_arm, mean_cents = n // 2, s // n
+    deff = _deff_ref()["deff_x1e6"]
+    rows = {
+        r["power_x100"]: r
+        for r in get_queries()["ml_mde_power"](spark, SF).collect()
+    }
+    for p, z in _POWERS:
+        arg_srs = (2 * var_c2) // n_arm
+        arg_deff = (2 * var_c2 * deff) // (n_arm * 1_000_000)
+        mde = round(((_Z_ALPHA_X1E6 + z) / 1e6) * arg_srs**0.5)
+        mde_d = round(((_Z_ALPHA_X1E6 + z) / 1e6) * arg_deff**0.5)
+        r = rows[p]
+        assert (r["n_arm"], r["mean_cents"], r["var_c2"]) == (
+            n_arm,
+            mean_cents,
+            var_c2,
+        )
+        assert r["mde_cents"] == mde
+        assert r["mde_deff_cents"] == mde_d
+        assert r["mde_rel_x1e6"] == (mde * 1_000_000) // mean_cents
+        # cluster randomization can only WIDEN the MDE (deff >= 1 here)
+        assert r["mde_deff_cents"] >= r["mde_cents"]
+    # more power demands a bigger detectable effect
+    assert rows[90]["mde_cents"] > rows[80]["mde_cents"]
+
+
+def test_mde_agrees_with_float_power_formula():
+    """Sanity vs the textbook formula in pure floats: MDE =
+    (z_a + z_b) * sqrt(2 sigma^2 / n) within trunc noise."""
+    o = _orders()
+    y = (o["o_totalprice"] * 100).round(0).astype("float64")
+    n = len(y)
+    sigma2 = float(y.var(ddof=1))
+    mde80 = (1.959964 + 0.841621) * (2 * sigma2 / (n // 2)) ** 0.5
+    ref = _deff_ref()  # noqa: F841 — ensures panel consistency
+    s = int((o["o_totalprice"] * 100).round(0).astype("int64").sum())
+    ssq = int(
+        ((o["o_totalprice"] * 100).round(0).astype("int64").astype(object) ** 2).sum()
+    )
+    var_c2 = (n * ssq - s * s) // (n * (n - 1))
+    got = round(((1_959_964 + 841_621) / 1e6) * ((2 * var_c2) // (n // 2)) ** 0.5)
+    assert abs(got - mde80) / mde80 < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# ml_tost_equivalence
+# ---------------------------------------------------------------------------
+
+
+def test_tost_matches_python_reference(spark):
+    ev = _events()
+    sub = ev[ev["event_type"].isin(["click", "purchase"])]
+    v = (sub["value"] * 1_000_000).round(0).astype("int64")
+    is_a = (sub["event_type"] == "click").to_numpy()
+    out = {}
+    for flag, tag in ((True, "a"), (False, "b")):
+        vv = v[is_a == flag]
+        n, s = len(vv), int(vv.sum())
+        ssq = int((vv.astype(object) ** 2).sum())
+        out[tag] = (n, s, ssq)
+    (n_a, s_a, ssq_a), (n_b, s_b, ssq_b) = out["a"], out["b"]
+    mean_a, mean_b = s_a // n_a, s_b // n_b
+    var_a = (n_a * ssq_a - s_a * s_a) // (n_a * (n_a - 1))
+    var_b = (n_b * ssq_b - s_b * s_b) // (n_b * (n_b - 1))
+    delta = ((s_a + s_b) // (n_a + n_b)) * 5 // 100
+    se2 = var_a // n_a + var_b // n_b
+    z_lo = round((mean_a - mean_b + delta) * 1e6 / se2**0.5)
+    z_hi = round((mean_a - mean_b - delta) * 1e6 / se2**0.5)
+    r = get_queries()["ml_tost_equivalence"](spark, SF).first()
+    assert (r["n_a"], r["n_b"]) == (n_a, n_b)
+    assert (r["mean_a_x1e6"], r["mean_b_x1e6"]) == (mean_a, mean_b)
+    assert (r["delta_x1e6"], r["se2"]) == (delta, se2)
+    assert (r["z_lower_x1e6"], r["z_upper_x1e6"]) == (z_lo, z_hi)
+    want = (
+        "equivalent"
+        if z_lo >= 1_644_854 and z_hi <= -1_644_854
+        else "not_equivalent"
+    )
+    assert r["verdict"] == want
+
+
+def test_tost_single_sample_arm_raises_identically(spark, tmp_path):
+    sf_dir = str(tmp_path)
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": pd.Timestamp("2024-01-01"),
+            "user_id": [1, 2, 3],
+            "event_type": ["click", "purchase", "purchase"],
+            "value": [10.0, 20.0, 30.0],
+            "props": ["{}"] * 3,
+        }
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "events.parquet")
+    )
+    with pytest.raises(Exception, match="ml_tost_equivalence"):
+        get_queries()["ml_tost_equivalence"](spark, sf_dir).collect()
+
+    from p6_spark.plans.registry import QUERIES
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM read_parquet('{}')".format(
+                os.path.join(sf_dir, "events.parquet", "*.parquet")
+            )
+        )
+        with pytest.raises(duckdb.Error, match="ml_tost_equivalence"):
+            con.execute(QUERIES["ml_tost_equivalence"].oracle).fetchall()
+    finally:
+        con.close()

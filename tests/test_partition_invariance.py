@@ -128,6 +128,8 @@ INVARIANT_QUERIES = [
     "ml_ips_offpolicy",         # x1e6 cell weights, broadcast totals
     "ml_design_effect",         # decimal ANOVA sums, mean-square divs
     "ml_isotonic_calibration",  # bounded-ledger minimax PAV
+    "ml_mde_power",             # literal-z MDE from exact ANOVA variance
+    "ml_tost_equivalence",      # two one-sided Welch z vs literal z_95
 ]
 
 
