@@ -63,8 +63,11 @@ ks AS (
   FROM alphas CROSS JOIN (SELECT min(n_cal) AS n_cal FROM cum)
 ),
 chk AS (
+  -- k IS NULL / n_cal IS NULL means the calibration split is EMPTY
+  -- (min over zero rows) — without the IS NULL arms the CASE is
+  -- NULL-skipped and NULL thresholds flow through silently.
   SELECT alpha_x100, n_cal,
-         CASE WHEN k > n_cal
+         CASE WHEN k IS NULL OR n_cal IS NULL OR k > n_cal
               THEN error('ml_conformal_threshold: calibration set too '
                          'small for the requested coverage (k > n_cal)')
               ELSE k END AS k
@@ -99,7 +102,9 @@ ORDER BY alpha_x100 DESC
     "report pairs each threshold with its EMPIRICAL holdout coverage "
     "(x1e6) next to the x1e6 target, so the guarantee is checked, not "
     "asserted. k > n_cal (calibration set too small for the requested "
-    "level) raises identically in both engines. Scale shape: the order "
+    "level) raises identically in both engines, and so does an EMPTY "
+    "calibration split (NULL k/n_cal is caught explicitly — a bare "
+    "k > n_cal comparison would be NULL-skipped). Scale shape: the order "
     "statistic comes from per-distinct-score pre-aggregation + a "
     "cumulative walk on that bounded table (the ml_auc_delong/"
     "q_mannwhitney_u family rewrite; Spark side buckets the prefix "
@@ -154,7 +159,9 @@ def ml_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             "alpha_x100",
             "n_cal",
             F.when(
-                F.col("k") > F.col("n_cal"),
+                F.col("k").isNull()
+                | F.col("n_cal").isNull()
+                | (F.col("k") > F.col("n_cal")),
                 F.raise_error(
                     F.lit(
                         "ml_conformal_threshold: calibration set too "
@@ -166,9 +173,19 @@ def ml_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("k"),
         )
     )
+    # Sentinel row keeps the cum side structurally non-empty so the
+    # k/n_cal guard in `ks` is ALWAYS evaluated: with an EMPTY
+    # calibration split AQE's empty-relation propagation would prune
+    # this join before the raising projection ever materializes (the
+    # DuckDB twin evaluates its CASE either way). cum_cnt = 0 never
+    # reaches any k >= 1, so thresholds are unchanged on healthy data.
+    sentinel = spark.range(1).select(
+        F.lit(None).cast("long").alias("score"),
+        F.lit(0).cast("long").alias("cum_cnt"),
+    )
     thr = (
         F.broadcast(ks)
-        .crossJoin(cum.drop("n_cal"))
+        .crossJoin(cum.drop("n_cal").unionByName(sentinel))
         .groupBy("alpha_x100", "n_cal", "k")
         .agg(
             F.min(
@@ -638,6 +655,7 @@ def ml_mde_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _TOST_GUARD = "ml_tost_equivalence: need >= 2 samples per arm"
+_TOST_SE2_GUARD = "ml_tost_equivalence: zero-variance arms (se2 = 0)"
 _Z_ONESIDED_X1E6 = 1_644_854  # z_{0.95}, Python-precomputed literal
 
 
@@ -686,6 +704,12 @@ z AS (
          (pooled_mean_x1e6 * 5) // 100 AS delta_x1e6,
          var_a // n_a + var_b // n_b AS se2
   FROM stats
+),
+chk3 AS (
+  SELECT n_a, n_b, mean_a_x1e6, mean_b_x1e6, delta_x1e6,
+         CASE WHEN se2 = 0 THEN error('{_TOST_SE2_GUARD}')
+              ELSE se2 END AS se2
+  FROM z
 )
 SELECT n_a, n_b, mean_a_x1e6, mean_b_x1e6,
        cast(delta_x1e6 AS bigint) AS delta_x1e6,
@@ -699,7 +723,7 @@ SELECT n_a, n_b, mean_a_x1e6, mean_b_x1e6,
              AND round((mean_a_x1e6 - mean_b_x1e6 - delta_x1e6) * 1000000.0
                        / sqrt(se2), 0) <= -{_Z_ONESIDED_X1E6}
             THEN 'equivalent' ELSE 'not_equivalent' END AS verdict
-FROM z
+FROM chk3
 """,
     doc="TOST equivalence test — the ship/no-ship question a "
     "significance test cannot answer: 'is the new variant NO WORSE "
@@ -716,7 +740,9 @@ FROM z
     "(n(n-1)), the ml_design_effect formulation); se^2 = var_a/n_a + "
     "var_b/n_b is an exact integer < 2^53 into IEEE sqrt, and the z "
     "scores are one correctly-rounded float division each, identical "
-    "text both engines. Arms with < 2 samples raise identically. "
+    "text both engines. Arms with < 2 samples raise identically; so do "
+    "zero-variance panels (se2 = 0 would otherwise be an "
+    "engine-specific float division by zero). "
     "Scale shape: ONE map-side-combined aggregate to two rows, then "
     "1-row arithmetic — 100 TB of metric rows reduce in a single "
     "pass.",
@@ -781,6 +807,19 @@ def ml_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_b_x1e6",
         F.expr("(pooled_mean_x1e6 * 5) div 100").alias("delta_x1e6"),
         F.expr("var_a div n_a + var_b div n_b").alias("se2"),
+    )
+    z = z.select(
+        "n_a",
+        "n_b",
+        "mean_a_x1e6",
+        "mean_b_x1e6",
+        "delta_x1e6",
+        F.when(
+            F.col("se2") == 0,
+            F.raise_error(F.lit(_TOST_SE2_GUARD)).cast("long"),
+        )
+        .otherwise(F.col("se2"))
+        .alias("se2"),
     )
     return z.select(
         "n_a",

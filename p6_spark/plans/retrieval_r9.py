@@ -476,9 +476,16 @@ FROM var
     "(n1*SS1 - A^2) / (4*n0^2 * n1^2 * (n1-1)), computed as a "
     "DOCUMENTED two-step trunc division ((T1 // 4n0^2) * 1e12 // "
     "n1^2(n1-1)) so every intermediate stays inside decimal(38,0)/"
-    "HUGEINT even at billions of rows (single-division staging would "
+    "HUGEINT up to billions of rows (single-division staging would "
     "overflow past ~3.4M rows; the stepwise spec is exact-identical on "
-    "both engines and loses < 1 ulp of the x1e12 value). se_x1e6 = "
+    "both engines and loses < 1 ulp of the x1e12 value). Engine-bound "
+    "ceilings differ on the FIRST staged quotient (~ n1^2/4): Spark's "
+    "div is IntegralDivide and returns BIGINT, so ANSI RAISES (loudly, "
+    "never corrupts) once n1 exceeds ~6.07e9 positives "
+    "(sqrt(4 * 2^63)), while the DuckDB HUGEINT twin carries it to "
+    "~2.6e19; below that Spark ceiling the two texts are "
+    "value-identical, and the decimal(38,0) aggregate itself bounds "
+    "the pair at n1*n0 <= ~5e18 anyway. se_x1e6 = "
     "round(sqrt(var_x1e12)) — the Wilson convention: the input is an "
     "exact integer <= 2.5e11 < 2^53 and sqrt is IEEE-754 correctly "
     "rounded BY SPEC. Degenerate panels (n1 <= 1 or n0 <= 1) raise "

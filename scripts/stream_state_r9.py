@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from p6_spark.session import get_spark  # noqa: E402
 
 
-def drive(spark, name, stream_df):
+def drive(spark, name, stream_df, expected_triggers):
     q = (
         stream_df.writeStream.format("memory")
         .queryName(f"state_{name}")
@@ -43,6 +43,16 @@ def drive(spark, name, stream_df):
         prog = [json.loads(p.json) for p in q.recentProgress]
     finally:
         q.stop()
+    # recentProgress is a ring buffer (spark.sql.streaming.
+    # numRecentProgressUpdates, default ~100); main() raises it above the
+    # chunk count, and this assert catches any silent truncation that
+    # would otherwise compute the summary over an incomplete window.
+    if len(prog) < expected_triggers:
+        raise RuntimeError(
+            f"{name}: progress history truncated — {len(prog)} events < "
+            f"{expected_triggers} expected triggers; raise "
+            "spark.sql.streaming.numRecentProgressUpdates above --chunks"
+        )
     batches = [
         {
             "batch_id": p["batchId"],
@@ -78,6 +88,13 @@ def main() -> None:
         "stream_state_r9", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # keep the full per-batch state curve: the progress ring buffer must
+    # hold every trigger (one per chunk file) or the summary is computed
+    # over a truncated window (drive() asserts this held).
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates",
+        str(args.chunks + 64),
+    )
     tmp = tempfile.mkdtemp(prefix="r9stream_")
     out: dict = {"_doc": __doc__.strip().splitlines()[0], "sf_dir": args.sf_dir}
     try:
@@ -92,7 +109,7 @@ def main() -> None:
             .format("parquet")
             .load(panel_dir)
         )
-        r = drive(spark, "ledger", stream)
+        r = drive(spark, "ledger", stream, args.chunks)
         r["n_keys"] = panel.select("q").distinct().count()
         out["retrieval_ledger"] = r
 
@@ -125,7 +142,7 @@ def main() -> None:
             .load(scores_dir),
             thresholds,
         )
-        r2 = drive(spark, "coverage", mon)
+        r2 = drive(spark, "coverage", mon, args.chunks)
         r2["n_keys"] = len(thr_rows)
         out["coverage_monitor"] = r2
 
