@@ -74,6 +74,13 @@ def r9b_names() -> list[str]:
         return json.load(f).get("r9b", [])
 
 
+def r10_names() -> list[str]:
+    """Round-10 productionization additions (BENCH_MANIFEST 'r10'):
+    timed, reported in "queries" + "r10_total"."""
+    with open(_MANIFEST) as f:
+        return json.load(f).get("r10", [])
+
+
 def r8_names() -> list[str]:
     """Fifth manifest section (appended round 8): the curation family
     (shard balance, curriculum order, dataloader plan, mutual-kNN
@@ -126,7 +133,16 @@ def main() -> None:
         for n in r9b_names()
         if n in qs and n not in head + iters + r6 + r7 + r8 + r9
     ]
-    names = list(qs) if args.all else head + iters + r6 + r7 + r8 + r9 + r9b
+    r10 = [
+        n
+        for n in r10_names()
+        if n in qs and n not in head + iters + r6 + r7 + r8 + r9 + r9b
+    ]
+    names = (
+        list(qs)
+        if args.all
+        else head + iters + r6 + r7 + r8 + r9 + r9b + r10
+    )
     # Optional comma-separated subset for local iteration / regression
     # bisection (e.g. SPARK_GRAFT_BENCH_QUERIES=q01_pricing_summary,q06_...)
     only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
@@ -140,6 +156,7 @@ def main() -> None:
         r8 = [n for n in r8 if n in keep]
         r9 = [n for n in r9 if n in keep]
         r9b = [n for n in r9b if n in keep]
+        r10 = [n for n in r10 if n in keep]
 
     # Warmup: run every query once (untimed) so JVM startup +
     # WholeStageCodegen (Janino) compilation isn't billed to the timed
@@ -208,6 +225,8 @@ def main() -> None:
         out["r9_total"] = round(sum(timings[n] for n in r9), 4)
     if not args.all and r9b:
         out["r9b_total"] = round(sum(timings[n] for n in r9b), 4)
+    if not args.all and r10:
+        out["r10_total"] = round(sum(timings[n] for n in r10), 4)
     if args.all:
         fams: dict[str, float] = {}
         for n, t in timings.items():

@@ -1,5 +1,7 @@
 """The rotating driver-sample proposal in __spark_entry__ (VERDICT r8
-item 5): deterministic, 50 names, valid, and actually rotating."""
+item 5; window widened round 10 per VERDICT r9 item 4): deterministic,
+50 names, valid, rotating — with the anchor window cut to the flagship
++ Q1 + the 8 p6_* parity queries and 40 rotating picks per round."""
 
 from __future__ import annotations
 
@@ -8,19 +10,25 @@ import __spark_entry__ as e
 
 def test_proposed_sample_is_deterministic_and_valid():
     names = set(e.queries())
-    s1 = e.proposed_sample(round_no=9)
-    s2 = e.proposed_sample(round_no=9)
+    s1 = e.proposed_sample(round_no=10)
+    s2 = e.proposed_sample(round_no=10)
     assert s1 == s2
     assert len(s1) == e._FIXED_N + e._ROTATING_N == 50
     assert len(set(s1)) == 50
     assert set(s1) <= names
 
 
+def test_anchor_window_is_flagship_plus_parity():
+    assert e._FIXED_N == 10 and e._ROTATING_N == 40
+    assert e._ANCHORS[0] == "q05_region_revenue"  # entry()'s flagship
+    assert sum(n.startswith("p6_") for n in e._ANCHORS) == 8
+
+
 def test_sample_rotates_across_rounds_with_stable_anchors():
-    s9 = e.proposed_sample(round_no=9)
     s10 = e.proposed_sample(round_no=10)
-    assert s9[: e._FIXED_N] == s10[: e._FIXED_N]  # anchors stable
-    assert s9[e._FIXED_N :] != s10[e._FIXED_N :]  # rotation rotates
+    s11 = e.proposed_sample(round_no=11)
+    assert s10[: e._FIXED_N] == s11[: e._FIXED_N]  # anchors stable
+    assert s10[e._FIXED_N :] != s11[e._FIXED_N :]  # rotation rotates
 
 
 def test_queries_iteration_order_leads_with_the_sample():

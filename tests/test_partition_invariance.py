@@ -130,6 +130,9 @@ INVARIANT_QUERIES = [
     "ml_isotonic_calibration",  # bounded-ledger minimax PAV
     "ml_mde_power",             # literal-z MDE from exact ANOVA variance
     "ml_tost_equivalence",      # two one-sided Welch z vs literal z_95
+    # round-10 productionization twins
+    "pipe_quality_budget_cut_deadletter",  # routed split + two-phase rank
+    "pipe_percentile_prune_deadletter",    # routed split + per-lang walk
 ]
 
 
