@@ -185,14 +185,18 @@ def ml_ndcg_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def retrieval_ledger(ranked: DataFrame) -> DataFrame:
+def retrieval_ledger(ranked: DataFrame, extra_keys: tuple = ()) -> DataFrame:
     """Per-query retrieval ledger: first relevant rank, relevant count,
     relevant-in-top-_K count. ONE aggregation keyed by query — exactly
     the shape Structured Streaming allows as its single stateful
     aggregation (streaming/evals.retrieval_ledger_stream runs this very
-    function on a stream; the parity test pins stream == batch)."""
+    function on a stream; the parity test pins stream == batch).
+
+    ``extra_keys``: prepended grouping columns — the TTL'd streaming
+    twin groups by (event-time window, q) so watermark expiry can evict
+    stale query keys (streaming/evals.retrieval_ledger_stream_ttl)."""
     rel = F.col("gain") >= 3
-    return ranked.groupBy("q").agg(
+    return ranked.groupBy(*extra_keys, "q").agg(
         F.min(F.when(rel, F.col("rnk"))).alias("first_rel_rank"),
         F.sum(F.when(rel, 1).otherwise(0)).cast("long").alias("n_rel"),
         F.sum(F.when(rel & (F.col("rnk") <= _K), 1).otherwise(0))

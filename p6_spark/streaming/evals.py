@@ -153,6 +153,27 @@ def read_ranked_stream(spark, path: str) -> DataFrame:
     )
 
 
+def _ledger_report(led: DataFrame, *lead_cols: str) -> DataFrame:
+    """The exact reciprocal-rank / recall@5 projection shared by the
+    unbounded and TTL'd ledger streams (and bit-identical to the batch
+    query's report columns)."""
+    return led.select(
+        *lead_cols,
+        "q",
+        "first_rel_rank",
+        "n_rel",
+        "rel5",
+        F.expr(
+            "CASE WHEN first_rel_rank IS NULL THEN cast(0 as bigint)"
+            " ELSE cast(1000000 as bigint) div first_rel_rank END"
+        ).alias("rr_x1e6"),
+        F.expr(
+            "CASE WHEN n_rel = 0 THEN cast(0 as bigint)"
+            " ELSE (rel5 * cast(1000000 as bigint)) div n_rel END"
+        ).alias("recall5_x1e6"),
+    )
+
+
 def retrieval_ledger_stream(ranked: DataFrame) -> DataFrame:
     """Running per-query retrieval ledger: ONE streaming aggregation to
     (q, first_rel_rank, n_rel, rel5) — LITERALLY the same
@@ -169,21 +190,69 @@ def retrieval_ledger_stream(ranked: DataFrame) -> DataFrame:
     through."""
     from p6_spark.plans.retrieval_r9 import retrieval_ledger
 
-    led = retrieval_ledger(ranked)
-    return led.select(
+    return _ledger_report(retrieval_ledger(ranked))
+
+
+RANKED_TS_SCHEMA = T.StructType(
+    [
+        T.StructField("q", T.LongType(), True),
+        T.StructField("rnk", T.IntegerType(), True),
+        T.StructField("gain", T.IntegerType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+
+def read_ranked_ts_stream(spark, path: str) -> DataFrame:
+    """Timestamped ranked-results stream for the TTL'd ledger: the
+    serving system stamps each scored result row with its event time."""
+    return (
+        spark.readStream.schema(RANKED_TS_SCHEMA).format("parquet").load(path)
+    )
+
+
+def retrieval_ledger_stream_ttl(
+    ranked_ts: DataFrame,
+    window: str = "10 minutes",
+    ttl: str = "10 minutes",
+) -> DataFrame:
+    """TTL'd retrieval ledger (VERDICT r9 #3): the unbounded twin's
+    state is exactly one row per query key — bounded by the KEY
+    universe, which a production query stream grows forever. This twin
+    keys the SAME ledger aggregation (plans/retrieval_r9.
+    retrieval_ledger, via its extra_keys hook — one definition, cannot
+    drift) by (event-time window, q) and sets a watermark, so Spark's
+    state store EVICTS a (window, q) group once the watermark passes
+    window end: state is bounded by keys ACTIVE within the TTL horizon,
+    not keys ever seen. Run in append mode: a window's ledger rows emit
+    exactly once, when the window finalizes — the natural feed for a
+    per-window MRR rollup downstream.
+
+    Semantics trade: rows for the same query in DIFFERENT windows are
+    separate ledger entries (a re-asked query re-measures). That is the
+    correct monitoring semantics — and the only state-bounded one: any
+    forever-exact per-key ledger must retain every key.
+
+    At scale: state = |active (window, q) pairs within the watermark
+    horizon| — measured flat under key churn in
+    benchdata/r10_stream_ttl_state.json (scripts/stream_ttl_r10.py);
+    stream == batch on finalized windows pinned by
+    tests/test_streaming_ttl_r10.py."""
+    from p6_spark.plans.retrieval_r9 import retrieval_ledger
+
+    led = retrieval_ledger(
+        ranked_ts.withWatermark("ts", ttl),
+        extra_keys=(F.window("ts", window).alias("win"),),
+    )
+    led = led.select(
+        F.col("win.start").alias("win_start"),
+        F.col("win.end").alias("win_end"),
         "q",
         "first_rel_rank",
         "n_rel",
         "rel5",
-        F.expr(
-            "CASE WHEN first_rel_rank IS NULL THEN cast(0 as bigint)"
-            " ELSE cast(1000000 as bigint) div first_rel_rank END"
-        ).alias("rr_x1e6"),
-        F.expr(
-            "CASE WHEN n_rel = 0 THEN cast(0 as bigint)"
-            " ELSE (rel5 * cast(1000000 as bigint)) div n_rel END"
-        ).alias("recall5_x1e6"),
     )
+    return _ledger_report(led, "win_start", "win_end")
 
 
 SCORES_SCHEMA = T.StructType([T.StructField("score", T.LongType(), True)])
