@@ -445,7 +445,14 @@ ORDER BY degree
     "Output is the mutual-degree histogram (isolated nodes carry no "
     "edge and are absent by construction). Determinism: cosine is "
     "integer-scaled BEFORE ranking (ties broken by neighbor id), so "
-    "ranks are exact-integer comparisons in both engines. Scale shape: "
+    "ranks are exact-integer comparisons in both engines. The scaling "
+    "is a deliberate DOUBLE rounding, spelled identically in both "
+    "plans: round(cos, 6) first snaps the float to a 6-decimal grid — "
+    "collapsing sub-1e-6 float noise into EXACT ties the deterministic "
+    "id tiebreak then owns — and the outer round(... * 1e6) converts "
+    "that grid point to the integer rank key; a single round(cos*1e6) "
+    "would rank on values the noise still separates, making the top-k "
+    "boundary order-dependent at equality. Scale shape: "
     "per-src candidate lists are bounded by the bucket cap "
     "(<= 20 x 4 tables), so the ranking window partitions over a key "
     "whose cardinality GROWS with the corpus with bounded group size — "

@@ -14,10 +14,17 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "p6_spark", cpus: int | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "p6_spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
     """Build (or reuse) the tuned session.
 
     ``SPARK_GRAFT_CPUS`` overrides parallelism (harness contract).
+    ``extra_conf`` overlays builder configs (measurement harnesses, e.g.
+    the memory profiler re-enabling the UI for its stage-metrics REST
+    API) — only effective when this call CREATES the session.
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -40,6 +47,8 @@ def get_spark(app_name: str = "p6_spark", cpus: int | None = None) -> SparkSessi
         # files are row-group sized and 128 MiB amortizes scheduling.
         .config("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
