@@ -31,6 +31,20 @@ conf AS (
          cast(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS bigint) AS n01,
          cast(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS bigint) AS n00
   FROM rated
+),
+chk AS (
+  -- named loud failure (the r9b discipline): pe = 1 (all mass in one
+  -- rater-margin product) makes kappa 0/0 — raise identically instead
+  -- of a bare engine-specific DIVIDE_BY_ZERO. The guard rides on the
+  -- n column every output row READS, so neither optimizer can prune it.
+  SELECT CASE WHEN n::HUGEINT * n
+                   - ((n11 + n10)::HUGEINT * (n11 + n01)
+                      + (n01 + n00)::HUGEINT * (n10 + n00)) = 0
+              THEN error('ml_cohens_kappa: degenerate confusion table '
+                         '(pe = 1), kappa undefined')
+              ELSE n END AS n,
+         n11, n10, n01, n00
+  FROM conf
 )
 SELECT n, n11, n10, n01, n00,
        cast((n::HUGEINT * (n11 + n00)
@@ -39,7 +53,7 @@ SELECT n, n11, n10, n01, n00,
             // (n::HUGEINT * n
                 - ((n11 + n10)::HUGEINT * (n11 + n01) + (n01 + n00)::HUGEINT * (n10 + n00)))
             AS bigint) AS kappa_x1e6
-FROM conf
+FROM chk
 """,
     doc="Cohen's kappa between two cheap labeling heuristics (high-"
     "quantity vs discounted) — the agreement-beyond-chance audit run "
@@ -48,7 +62,9 @@ FROM conf
     "kappa = (po - pe)/(1 - pe) cross-multiplied by n^2 into one exact "
     "integer ratio over the 2x2 confusion counts: (n*diag - sum of "
     "margin products) / (n^2 - sum of margin products), x1e6 trunc "
-    "div. ONE conditional aggregate over the fact table, map-side "
+    "div. Degenerate tables (pe = 1: kappa 0/0) raise a NAMED error "
+    "identically on both engines instead of a bare DIVIDE_BY_ZERO. "
+    "ONE conditional aggregate over the fact table, map-side "
     "partials, single row — unchanged at any SF.",
     tags=("ml", "eval", "fixed-point"),
 )
@@ -66,6 +82,19 @@ def ml_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     pe_num = (
         "(cast(n11 + n10 as decimal(38,0)) * (n11 + n01)"
         " + cast(n01 + n00 as decimal(38,0)) * (n10 + n00))"
+    )
+    # named loud failure (the r9b discipline): pe = 1 makes kappa 0/0 —
+    # the guard rides on the n column the output reads (prune-proof)
+    conf = conf.select(
+        F.expr(
+            f"CASE WHEN cast(n as decimal(38,0)) * n - {pe_num} = 0"
+            " THEN raise_error('ml_cohens_kappa: degenerate confusion"
+            " table (pe = 1), kappa undefined') ELSE n END"
+        ).alias("n"),
+        "n11",
+        "n10",
+        "n01",
+        "n00",
     )
     return conf.select(
         "n",
