@@ -1,8 +1,9 @@
-"""Round-10 productionization: dead-letter twins of the two raising
-quality-prune queries.
+"""Round-10 productionization: dead-letter twins of the raising
+pipeline queries.
 
-The certified forms of ``pipe_quality_budget_cut`` and
-``pipe_percentile_prune`` RAISE a named error on any empty document —
+The certified forms of ``pipe_quality_budget_cut``,
+``pipe_percentile_prune``, and ``pipe_sequence_packing`` RAISE a named
+error on any empty document —
 the right posture for oracle parity and for pipelines that must not
 silently score garbage. But at 100 TB one blank row must not abort a
 curation run: the reference's own error-channel semantics drop the
@@ -311,3 +312,112 @@ def pipe_percentile_prune_deadletter(
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# pipe_sequence_packing_deadletter — packing that drops rows, not runs
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 4096  # chars per packed sequence (mirrors packing_r7)
+
+
+@register(
+    "pipe_sequence_packing_deadletter",
+    oracle=f"""
+WITH clean AS (
+  SELECT doc_id, n_chars FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars >= 1
+),
+dead AS (
+  SELECT cast(count(*) AS bigint) AS n_dead FROM documents
+  WHERE n_chars IS NULL OR n_chars < 1
+),
+d AS (
+  SELECT doc_id, n_chars,
+         sum(n_chars) OVER (ORDER BY doc_id) AS cum
+  FROM clean
+),
+assigned AS (
+  SELECT doc_id, n_chars,
+         (cum - n_chars) // {_PACK_BUDGET} AS seq_id,
+         CASE WHEN (cum - n_chars) // {_PACK_BUDGET}
+                   <> (cum - 1) // {_PACK_BUDGET}
+              THEN 1 ELSE 0 END AS straddles
+  FROM d
+),
+per_seq AS (
+  SELECT seq_id, count(*) AS docs_in_seq, sum(straddles) AS n_straddle
+  FROM assigned GROUP BY seq_id
+)
+SELECT cast(docs_in_seq AS bigint) AS docs_in_seq,
+       cast(count(*) AS bigint) AS n_seqs,
+       cast(sum(n_straddle) AS bigint) AS n_straddlers
+FROM per_seq
+GROUP BY docs_in_seq
+UNION ALL
+SELECT cast(-1 AS bigint), n_dead, cast(0 AS bigint)
+FROM dead WHERE n_dead > 0
+ORDER BY docs_in_seq
+""",
+    doc="Dead-letter twin of pipe_sequence_packing — same greedy "
+    "fixed-window packing histogram, but documents with n_chars < 1 "
+    "(or NULL) are ROUTED via audit.dead_letter_rows (§2.9 "
+    "drop-rows-never-runs; reference src/P6/__main__.py:258-268) "
+    "instead of aborting: the running offset packs CLEAN documents "
+    "only (so the window arithmetic the raising form protects is "
+    "never fed an empty span), and the rejects surface as one "
+    "sentinel histogram row docs_in_seq = -1 (n_seqs = reject count, "
+    "0 straddlers), present only when rejects exist. On a clean "
+    "corpus this row vanishes and the twin equals the raising form "
+    "exactly (tests/test_deadletter_r10.py). Scale shape identical: "
+    "two-phase distributed prefix sum over the clean stream, two hash "
+    "aggregates, plus one 1-row dead count.",
+    tags=("pipeline", "packing", "training", "window", "fixed-point",
+          "audit"),
+)
+def pipe_sequence_packing_deadletter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from p6_spark.operators.ranking import two_phase_rank
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    clean, dead = dead_letter_rows(
+        docs, F.col("n_chars").isNotNull() & (F.col("n_chars") >= 1)
+    )
+    ranked = two_phase_rank(
+        clean, [F.asc("doc_id")], F.col("doc_id"), cum_cols=["n_chars"]
+    )
+    assigned = ranked.select(
+        F.expr(f"(cum_n_chars - n_chars) div {_PACK_BUDGET}").alias("seq_id"),
+        F.when(
+            F.expr(
+                f"(cum_n_chars - n_chars) div {_PACK_BUDGET}"
+                f" <> (cum_n_chars - 1) div {_PACK_BUDGET}"
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("straddles"),
+    )
+    per_seq = assigned.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("docs_in_seq"),
+        F.sum("straddles").alias("n_straddle"),
+    )
+    hist = per_seq.groupBy("docs_in_seq").agg(
+        F.count(F.lit(1)).cast("long").alias("n_seqs"),
+        F.sum("n_straddle").cast("long").alias("n_straddlers"),
+    ).select(
+        F.col("docs_in_seq").cast("long").alias("docs_in_seq"),
+        "n_seqs",
+        "n_straddlers",
+    )
+    dead_row = (
+        dead.agg(F.count(F.lit(1)).cast("long").alias("n_dead"))
+        .filter(F.col("n_dead") > 0)
+        .select(
+            F.lit(-1).cast("long").alias("docs_in_seq"),
+            F.col("n_dead").alias("n_seqs"),
+            F.lit(0).cast("long").alias("n_straddlers"),
+        )
+    )
+    return hist.unionByName(dead_row).orderBy("docs_in_seq")

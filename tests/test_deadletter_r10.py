@@ -131,3 +131,68 @@ def test_dirty_corpus_dead_side_is_counted_not_lost(spark, tmp_path):
     assert prune["fr"]["threshold_x1e6"] == -1
     assert prune["fr"]["n_deadletter"] == 1
     assert prune["en"]["n_deadletter"] == 1 and prune["en"]["n_docs"] == 2
+
+
+# ---------------------------------------------------------------------------
+# pipe_sequence_packing_deadletter
+# ---------------------------------------------------------------------------
+
+
+def test_packing_twin_equals_raising_form_on_clean_corpus(spark):
+    raising = get_queries()["pipe_sequence_packing"](spark, SF).collect()
+    twin = get_queries()["pipe_sequence_packing_deadletter"](
+        spark, SF
+    ).collect()
+    assert sorted(tuple(r) for r in raising) == sorted(
+        tuple(r) for r in twin
+    )  # no sentinel row on a clean corpus
+
+
+def test_packing_twin_routes_empty_docs(spark, tmp_path):
+    """n_chars = 0 and NULL rows abort the raising form; the twin packs
+    the clean stream and reports them as the docs_in_seq = -1 row."""
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(0, 2000), (1, 0), (2, 3000), (3, None), (4, 2500)],
+        "doc_id long, n_chars long",
+    ).coalesce(1).write.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    with pytest.raises(Exception, match="pipe_sequence_packing"):
+        get_queries()["pipe_sequence_packing"](spark, sf_dir).collect()
+
+    rows = {
+        r["docs_in_seq"]: r
+        for r in get_queries()["pipe_sequence_packing_deadletter"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert rows[-1]["n_seqs"] == 2 and rows[-1]["n_straddlers"] == 0
+    # the clean stream packed: 2000+3000+2500 chars over 4096-char windows
+    assert sum(r["n_seqs"] for k, r in rows.items() if k != -1) >= 1
+
+    # and the SAME oracle certifies the twin on the dirty panel
+    spark_pdf = canonicalize(
+        pd.DataFrame(
+            [
+                r.asDict()
+                for r in get_queries()["pipe_sequence_packing_deadletter"](
+                    spark, sf_dir
+                ).collect()
+            ]
+        )
+    )
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet('{}')".format(
+                os.path.join(sf_dir, "documents.parquet", "*.parquet")
+            )
+        )
+        oracle_pdf = canonicalize(
+            con.execute(
+                QUERIES["pipe_sequence_packing_deadletter"].oracle
+            ).fetchdf()
+        )
+    finally:
+        con.close()
+    assert compare(spark_pdf, oracle_pdf) == []

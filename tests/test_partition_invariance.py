@@ -133,6 +133,7 @@ INVARIANT_QUERIES = [
     # round-10 productionization twins
     "pipe_quality_budget_cut_deadletter",  # routed split + two-phase rank
     "pipe_percentile_prune_deadletter",    # routed split + per-lang walk
+    "pipe_sequence_packing_deadletter",    # routed split + prefix offsets
 ]
 
 
