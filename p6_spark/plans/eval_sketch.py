@@ -198,12 +198,24 @@ summed AS (
          cast(min(n) - min(na) AS bigint) AS nb,
          cast(sum(cnt_a::HUGEINT * (2 * prior + cnt + 1)) AS bigint) AS ranksum_a_x2
   FROM ranked
+),
+chk AS (
+  -- named loud failure (r9b discipline, extended r10): an empty group
+  -- makes 2*na*nb zero, where DuckDB // yields NULL silently but Spark
+  -- ANSI div raises — guard both engines identically. coalesce covers
+  -- the zero-row panel (min over nothing is NULL).
+  SELECT CASE WHEN coalesce(na, 0) = 0 OR coalesce(nb, 0) = 0
+              THEN error('q_mannwhitney_u: empty group — need both '
+                         'click and purchase values')
+              ELSE na END AS na,
+         nb, ranksum_a_x2
+  FROM summed
 )
 SELECT na, nb, ranksum_a_x2,
        cast(ranksum_a_x2 - na * (na + 1) AS bigint) AS u_a_x2,
        cast(((ranksum_a_x2 - na * (na + 1))::HUGEINT * 1000000) // (2 * na * nb) AS bigint)
          AS auc_x1e6
-FROM summed
+FROM chk
 """,
     doc="Mann-Whitney U between the click and purchase value "
     "distributions — the nonparametric are-these-the-same-distribution "
@@ -260,6 +272,23 @@ def q_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("ranksum_a_x2"),
+    )
+    # named loud failure (r9b discipline, extended r10): see oracle chk
+    summed = summed.select(
+        F.when(
+            (F.coalesce(F.col("na"), F.lit(0)) == 0)
+            | (F.coalesce(F.col("nb"), F.lit(0)) == 0),
+            F.raise_error(
+                F.lit(
+                    "q_mannwhitney_u: empty group — need both click "
+                    "and purchase values"
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.col("na"))
+        .alias("na"),
+        "nb",
+        "ranksum_a_x2",
     )
     return summed.select(
         "na",

@@ -126,11 +126,27 @@ d AS (
   SELECT cast(abs(cuma * nb - cumb * na) AS bigint) AS d_num,
          cast(na AS bigint) AS n_a, cast(nb AS bigint) AS n_b
   FROM cum
+),
+agg AS (
+  SELECT max(d_num) AS ks_numerator, min(n_a) AS n_a, min(n_b) AS n_b
+  FROM d
+),
+chk AS (
+  -- named loud failure (r9b discipline, extended r10): an empty side
+  -- makes na*nb zero, where DuckDB // yields NULL silently but Spark
+  -- ANSI div raises — guard both engines identically (coalesce covers
+  -- the zero-event panel).
+  SELECT ks_numerator,
+         CASE WHEN coalesce(n_a, 0) = 0 OR coalesce(n_b, 0) = 0
+              THEN error('q_ks_two_sample: empty side — need both '
+                         'click and purchase values')
+              ELSE n_a END AS n_a,
+         n_b
+  FROM agg
 )
-SELECT max(d_num) AS ks_numerator,
-       min(n_a) AS n_a, min(n_b) AS n_b,
-       cast((max(d_num) * 1000000) // (min(n_a) * min(n_b)) AS bigint) AS ks_x1e6
-FROM d
+SELECT ks_numerator, n_a, n_b,
+       cast((ks_numerator * 1000000) // (n_a * n_b) AS bigint) AS ks_x1e6
+FROM chk
 """,
     doc="Exact two-sample Kolmogorov-Smirnov distance between the click "
     "and purchase value distributions — the distribution-drift test a "
@@ -189,13 +205,36 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("na").alias("n_a"),
         F.col("nb").alias("n_b"),
     )
-    return d.agg(
+    agg = d.agg(
         F.max("d_num").alias("ks_numerator"),
         F.min("n_a").alias("n_a"),
         F.min("n_b").alias("n_b"),
-        F.expr("cast((max(d_num) * 1000000) div (min(n_a) * min(n_b)) as bigint)").alias(
-            "ks_x1e6"
-        ),
+    )
+    # named loud failure (r9b discipline, extended r10): see oracle chk
+    chk = agg.select(
+        "ks_numerator",
+        F.when(
+            (F.coalesce(F.col("n_a"), F.lit(0)) == 0)
+            | (F.coalesce(F.col("n_b"), F.lit(0)) == 0),
+            F.raise_error(
+                F.lit(
+                    "q_ks_two_sample: empty side — need both click "
+                    "and purchase values"
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.col("n_a"))
+        .alias("n_a"),
+        "n_b",
+    )
+    return chk.select(
+        "ks_numerator",
+        "n_a",
+        "n_b",
+        F.expr(
+            "cast((ks_numerator * cast(1000000 as bigint)) div (n_a * n_b)"
+            " as bigint)"
+        ).alias("ks_x1e6"),
     )
 
 
@@ -224,8 +263,16 @@ gini AS (
   SELECT segment,
          cast(min(n) AS bigint) AS n_customers,
          cast(min(t) AS bigint) AS total_rev_x100,
-         cast(((2 * sum(i::HUGEINT * rev_x100) - (min(n)::HUGEINT + 1) * min(t)) * 1000000)
-              // (min(n)::HUGEINT * min(t)) AS bigint) AS gini_x1e6
+         -- named loud failure (r9b discipline, extended r10): a segment
+         -- with zero revenue mass makes n*t zero, where DuckDB // yields
+         -- NULL silently but Spark ANSI div raises — guard identically
+         CASE WHEN min(t) = 0
+              THEN error('q_gini_concentration: zero revenue mass in '
+                         'segment, gini undefined')
+              ELSE cast(((2 * sum(i::HUGEINT * rev_x100)
+                          - (min(n)::HUGEINT + 1) * min(t)) * 1000000)
+                        // (min(n)::HUGEINT * min(t)) AS bigint)
+         END AS gini_x1e6
   FROM ranked
   GROUP BY segment
 )
@@ -267,10 +314,15 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.min("n").alias("n_customers"),
             F.min("t").alias("total_rev_x100"),
+            # named loud failure (r9b discipline, extended r10): see oracle
             F.expr(
-                "cast(((2 * sum(cast(i as decimal(38,0)) * rev_x100)"
+                "CASE WHEN min(t) = 0"
+                " THEN raise_error('q_gini_concentration: zero revenue"
+                " mass in segment, gini undefined')"
+                " ELSE cast(((2 * sum(cast(i as decimal(38,0)) * rev_x100)"
                 " - (cast(min(n) as decimal(38,0)) + 1) * min(t)) * 1000000)"
                 " div (cast(min(n) as decimal(38,0)) * min(t)) as bigint)"
+                " END"
             ).alias("gini_x1e6"),
         )
         .orderBy("segment")

@@ -35,12 +35,24 @@ WITH g AS (
          cast(sum(CASE WHEN l_linestatus = 'F' THEN cast(l_quantity AS bigint) * cast(l_quantity AS bigint) ELSE 0 END) AS bigint) AS ss2
   FROM lineitem
 ),
+chk AS (
+  -- named loud failure (the r9b discipline, extended round 10): on a
+  -- group with < 2 samples the variance denominator n^2(n-1) is zero,
+  -- where DuckDB // yields NULL (silent) but Spark ANSI div RAISES —
+  -- the exact cross-engine drift the fuzz sweep caught. Guard rides on
+  -- n1, which every downstream term reads.
+  SELECT CASE WHEN n1 < 2 OR n2 < 2
+              THEN error('q_welch_ttest: need >= 2 samples per group')
+              ELSE n1 END AS n1,
+         n2, s1, s2, ss1, ss2
+  FROM g
+),
 terms AS (
   SELECT n1, n2,
          (s1::HUGEINT * n2 - s2::HUGEINT * n1) AS diff,
          (n1::HUGEINT * ss1 - s1::HUGEINT * s1) AS a1,
          (n2::HUGEINT * ss2 - s2::HUGEINT * s2) AS a2
-  FROM g
+  FROM chk
 ),
 scaled AS (
   SELECT n1, n2,
@@ -51,7 +63,11 @@ scaled AS (
 )
 SELECT n1, n2,
        cast(md_x1e9 // 100000 AS bigint) AS mean_diff_x1e4,
-       cast(md_x1e9 * md_x1e9 // se2_x1e12 AS bigint) AS t2_x1e6
+       CASE WHEN se2_x1e12 = 0
+            THEN error('q_welch_ttest: zero variance in both groups '
+                       '(se2 = 0), t undefined')
+            ELSE cast(md_x1e9 * md_x1e9 // se2_x1e12 AS bigint)
+       END AS t2_x1e6
 FROM scaled
 """,
     doc="Welch's unequal-variance t-test of mean quantity, open vs "
@@ -82,6 +98,23 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(is1, q * q).otherwise(F.lit(0))).alias("ss1"),
         F.sum(F.when(is2, q * q).otherwise(F.lit(0))).alias("ss2"),
     )
+    # named loud failure (r9b discipline, extended r10): DuckDB // by
+    # zero is NULL while Spark ANSI div raises — guard BOTH engines
+    g = g.select(
+        F.when(
+            (F.col("n1") < 2) | (F.col("n2") < 2),
+            F.raise_error(
+                F.lit("q_welch_ttest: need >= 2 samples per group")
+            ).cast("long"),
+        )
+        .otherwise(F.col("n1"))
+        .alias("n1"),
+        "n2",
+        "s1",
+        "s2",
+        "ss1",
+        "ss2",
+    )
     terms = g.select(
         "n1",
         "n2",
@@ -111,8 +144,11 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n2",
         F.expr("cast(md_x1e9 div 100000 as bigint)").alias("mean_diff_x1e4"),
         F.expr(
-            "cast((cast(md_x1e9 as decimal(38,0)) * md_x1e9) div se2_x1e12"
-            " as bigint)"
+            "CASE WHEN se2_x1e12 = 0"
+            " THEN raise_error('q_welch_ttest: zero variance in both"
+            " groups (se2 = 0), t undefined')"
+            " ELSE cast((cast(md_x1e9 as decimal(38,0)) * md_x1e9)"
+            " div se2_x1e12 as bigint) END"
         ).alias("t2_x1e6"),
     )
 
