@@ -51,20 +51,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # in ~7 rounds instead of ~15. Anchors are named explicitly (they are
 # no longer a registration-order prefix).
 
+# Round 11 (VERDICT r10 item 2): the r10 artifact confirmed 34 fresh
+# names all green at 40 rotating. The driver samples the FIRST 50 of
+# queries() order, so widening the rotation means narrowing the anchor
+# set, not growing past 50: anchors shrink to the flagship + headline +
+# the three structurally-distinctive p6 parity queries (each certified
+# in ten consecutive driver artifacts already), the other five p6_*
+# queries join the rotating pool (they recur by hash like everything
+# else), and the rotating window grows to 45 — cumulative driver
+# coverage (108/317 after r10) closes the registry ~a round sooner.
 _ANCHORS = [
     "q05_region_revenue",   # flagship (entry())
     "q01_pricing_summary",  # the headline aggregate
-    "p6_time_normalize",
-    "p6_to_bool",
-    "p6_chromosome_email",
-    "p6_hpo_parse",
-    "p6_zip_explode",
-    "p6_hgvs_consistency",
-    "p6_audit_split",
-    "p6_packet_nest",
+    "p6_zip_explode",       # reference parity: explode + truncation
+    "p6_audit_split",       # reference parity: error-channel-as-data
+    "p6_packet_nest",       # reference parity: nested-document build
 ]
 _FIXED_N = len(_ANCHORS)
-_ROTATING_N = 40
+_ROTATING_N = 45
 
 
 def _current_round() -> int:

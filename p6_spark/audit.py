@@ -82,5 +82,13 @@ def dead_letter_rows(df: DataFrame, predicate: Column) -> tuple[DataFrame, DataF
     rejection counts in a curation manifest) instead of, or before,
     rendering it into AUDIT_SCHEMA text rows via ``audit_from_rows``.
     Same drop-rows-never-runs semantics as ``split_on`` (reference:
-    src/P6/__main__.py:258-268)."""
-    return df.filter(predicate), df.filter(~predicate)
+    src/P6/__main__.py:258-268).
+
+    NULL-safe (round-11 ADVICE): a NULL predicate routes the row to the
+    DEAD side — a naive ``filter(pred)/filter(~pred)`` pair drops
+    NULL-predicate rows from BOTH sides under ANSI three-valued logic,
+    silently losing rows despite the rows-routed-never-lost contract
+    (e.g. ``size(tokens) >= 1`` is NULL for NULL text). DuckDB twins of
+    callers must mirror with ``NOT coalesce(pred, false)`` on the dead
+    side."""
+    return df.filter(predicate), df.filter(~F.coalesce(predicate, F.lit(False)))

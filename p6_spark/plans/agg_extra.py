@@ -249,9 +249,12 @@ ORDER BY doc_id, tfidf_x1e6 DESC, token
     "cross-engine for positive values; a raw bigint cast would truncate "
     "in Spark but round in DuckDB), then tf x idf in exact bigint "
     "arithmetic; top-3 terms per document with a token tiebreak. The df "
-    "table is vocab-sized -> broadcast back to the tf stream, so the "
-    "only wide shuffle is the (doc,token) count. Output restricted to "
-    "50 docs; df is still computed corpus-wide.",
+    "table is vocab-sized — it GROWS with the corpus, so it is the "
+    "streamed probe side: the output-spec-bounded 50-doc tf slice "
+    "broadcasts instead (round-11 sweep; broadcasting df was an "
+    "unbounded-build-side cliff at 100 TB). The only wide shuffle is "
+    "the (doc,token) count. Output restricted to 50 docs; df is still "
+    "computed corpus-wide.",
     tags=("text", "tfidf", "agg", "window"),
 )
 def txt_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -262,9 +265,14 @@ def txt_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # Broadcast the 50-DOC tf slice, never the vocab-sized df table:
+    # dfreq grows with the corpus (Heaps' law — billions of distinct
+    # tokens at 100 TB) while the probed slice is output-spec-bounded
+    # (50 docs x per-doc vocab), so the bounded side is the build side
+    # and the corpus-wide df stream probes past it (round-11 broadcast
+    # sweep, same cliff class as dd_contamination's bench set).
     scored = (
-        tf.filter(F.col("doc_id") < 50)
-        .join(F.broadcast(dfreq), "token")
+        dfreq.join(F.broadcast(tf.filter(F.col("doc_id") < 50)), "token")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf_x1e6",

@@ -1394,13 +1394,38 @@ ORDER BY s.doc_id
     doc="Benchmark-contamination detection — docs sharing 3-gram shingles "
     "with a held-out benchmark set (here: doc_id % 97 as the stand-in "
     "eval set). The shingle equi-join + per-doc overlap ratio is the "
-    "standard decontamination pass before training; at 100 TB the "
-    "benchmark shingle set is small and BROADCASTS, so the corpus scan "
-    "never shuffles — only the tiny per-doc counts do. Flags docs with "
-    ">= 50% shingle overlap.",
+    "standard decontamination pass before training. Flags docs with "
+    ">= 50% shingle overlap. Scale shape: a REAL benchmark set is "
+    "fixed-size, so its shingles broadcast and the corpus scan never "
+    "shuffles — but the harness split (doc_id % 97) GROWS with the "
+    "corpus (~1% of it), and 3-gram shingles are DENSER per doc than "
+    "dd_decontam_ngram13's 13-grams, so the plan guards the broadcast "
+    "with the same driver-side 1-row bench-doc count (the permitted "
+    "scalar-bound class, plans/scalar_bounds.py): at most 20k bench "
+    "docs keep the broadcast semi-join; above the crossover it "
+    "degrades to a shuffle-hash semi-join on the shingle key (both "
+    "paths oracle-identical; tests/test_contamination_fallback_r11.py "
+    "drives the fallback). Either way the per-doc counts that follow "
+    "are tiny.",
     tags=("dedup", "contamination", "jaccard"),
 )
 def dd_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _contamination_plan(spark, sf_dir)
+
+
+def _contamination_plan(
+    spark: SparkSession, sf_dir: str, force_shuffle: bool | None = None
+) -> DataFrame:
+    """Shared plan for dd_contamination with an explicit join-strategy
+    override for tests/measurement (the _decontam_ngram13_plan pattern):
+    force_shuffle=True always takes the shuffle-hash fallback, False
+    always broadcasts, None (production) auto-selects on the memoized
+    driver-side bench-doc count."""
+    from p6_spark.plans.scalar_bounds import (
+        DECON_BROADCAST_MAX_BENCH_DOCS,
+        bench_doc_count,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     # One shingling pass total: n_sh rides through the explode so the
     # per-doc size needs no second scan, and because the final result is
@@ -1421,8 +1446,12 @@ def dd_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.size("arr").cast("long").alias("n_sh"), "arr")
         .select("doc_id", "n_sh", F.explode("arr").alias("s"))
     )
-    bench = F.broadcast(
-        sh.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
+    bench = sh.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
+    if force_shuffle is None:
+        n_bench_docs = bench_doc_count(spark, sf_dir, docs)
+        force_shuffle = n_bench_docs > DECON_BROADCAST_MAX_BENCH_DOCS
+    bench = (
+        bench.hint("shuffle_hash") if force_shuffle else F.broadcast(bench)
     )
     return (
         sh.filter(F.col("doc_id") % 97 != 0)
@@ -2853,7 +2882,9 @@ ORDER BY pair_count DESC, left_tok, right_tok
     "x1e6-snapped ln values summed as integers so both engines agree "
     "exactly. Unigram and bigram counts each shuffle once on "
     "vocab-bounded keys; the count totals ride broadcast scalars and "
-    "the top-30 join touches 30 rows.",
+    "the top-30 LIST is what broadcasts (the vocab-sized unigram "
+    "table streams past it — it grows with the corpus and must never "
+    "be the build side; fixed round 11 with the broadcast sweep).",
     tags=("text", "statistics", "collocation", "fixed-point"),
 )
 def txt_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2883,10 +2914,17 @@ def txt_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln6 = lambda c: F.round(F.log(c) * 1000000, 0).cast("long")  # noqa: E731
     cl = ucnt.select(F.col("tok").alias("l"), ln6(F.col("c")).alias("ln_cl"))
     cr = ucnt.select(F.col("tok").alias("r"), ln6(F.col("c")).alias("ln_cr"))
+    # Broadcast the 30-ROW top side, never the vocab-sized unigram
+    # table: ucnt grows with the corpus (Heaps' law — at 100 TB the
+    # distinct-token table is billions of rows), so hinting it was the
+    # same unbounded-broadcast cliff round 11 guarded in
+    # dd_contamination. The top-30 list streams the unigram counts
+    # past it twice; re-hinting the ≤30-row join result keeps the
+    # second probe a broadcast too.
+    t1 = cl.join(F.broadcast(top), "l")
+    t2 = cr.join(F.broadcast(t1), "r")
     return (
-        top.join(F.broadcast(cl), "l")
-        .join(F.broadcast(cr), "r")
-        .crossJoin(F.broadcast(btot))
+        t2.crossJoin(F.broadcast(btot))
         .crossJoin(F.broadcast(utot))
         .select(
             F.col("l").alias("left_tok"),

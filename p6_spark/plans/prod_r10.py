@@ -52,8 +52,10 @@ clean AS (
   FROM base WHERE len(t) >= 1
 ),
 dead AS (
+  -- NOT coalesce(pred, false): NULL text (NULL token list) routes to
+  -- the dead side, mirroring audit.dead_letter_rows' null-safe split
   SELECT lang, cast(count(*) AS bigint) AS n_docs
-  FROM base WHERE len(t) < 1 GROUP BY lang
+  FROM base WHERE NOT coalesce(len(t) >= 1, false) GROUP BY lang
 ),
 ranked AS (
   SELECT *,
@@ -172,8 +174,10 @@ scored AS (
   FROM base WHERE len(t) >= 1
 ),
 dead AS (
+  -- NOT coalesce(pred, false): NULL text (NULL token list) routes to
+  -- the dead side, mirroring audit.dead_letter_rows' null-safe split
   SELECT lang, cast(count(*) AS bigint) AS n_deadletter
-  FROM base WHERE len(t) < 1 GROUP BY lang
+  FROM base WHERE NOT coalesce(len(t) >= 1, false) GROUP BY lang
 ),
 per_s AS (
   SELECT lang, qs, cast(count(*) AS bigint) AS cnt,

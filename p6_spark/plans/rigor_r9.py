@@ -23,6 +23,10 @@ from pyspark.sql import functions as F
 
 from p6_spark.plans.eval_r8 import _SQL_MATCH_CTES, _pair_counts
 from p6_spark.plans.registry import register
+from p6_spark.plans.scalar_bounds import (
+    DECON_BROADCAST_MAX_BENCH_DOCS,
+    bench_doc_count,
+)
 from p6_spark.sources.tables import load_table
 
 # DuckDB spelling of the whitespace tokenizer (same as llm_ops)
@@ -606,13 +610,9 @@ def pipe_data_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DECON_N = 13
 
-# Broadcast/shuffle crossover for the decontam bench side, in BENCH DOCS
-# (the cheap driver-side bound): ~150 words/doc -> ~3M distinct 13-gram
-# shingles -> ~300 MB of broadcast strings, a comfortable executor
-# ceiling. The harness's doc_id % 97 split is ~1% OF THE CORPUS, so at
-# 100 TB the bench side alone is ~1 TB of shingles — far past any
-# broadcast — and the plan must degrade to a shuffle-hash semi-join.
-_DECON_BROADCAST_MAX_BENCH_DOCS = 20_000
+# Broadcast/shuffle crossover shared with dd_contamination (round 11
+# extended the guard there) — rationale in plans/scalar_bounds.py.
+_DECON_BROADCAST_MAX_BENCH_DOCS = DECON_BROADCAST_MAX_BENCH_DOCS
 
 
 def _sql_shingles(n: int) -> str:
@@ -700,20 +700,10 @@ def _decontam_ngram13_plan(
     )
     bench = sh.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
     if force_shuffle is None:
-        # Driver-side 1-row scalar bound (the modern_sql.py:89 class):
-        # count bench DOCS, not shingles — a doc_id-only scan of ~1% of
-        # the corpus, orders cheaper than the shingle explode it guards.
-        # Memoized per (session, sf_dir) like the table cache: the bench
-        # split is deterministic, so rebuilding the plan (bench reruns,
-        # partition-invariance sweeps) must not re-pay the guard scan.
-        cache = getattr(spark, "_p6_decontam_bench_count", None)
-        if cache is None:
-            cache = {}
-            spark._p6_decontam_bench_count = cache
-        n_bench_docs = cache.get(sf_dir)
-        if n_bench_docs is None:
-            n_bench_docs = docs.filter(F.col("doc_id") % 97 == 0).count()
-            cache[sf_dir] = n_bench_docs
+        # Driver-side 1-row scalar bound (the modern_sql.py:89 class),
+        # memoized per (session, sf_dir) — see plans/scalar_bounds.py
+        # for the crossover rationale and the staleness assumption.
+        n_bench_docs = bench_doc_count(spark, sf_dir, docs)
         force_shuffle = n_bench_docs > _DECON_BROADCAST_MAX_BENCH_DOCS
     bench = (
         bench.hint("shuffle_hash") if force_shuffle else F.broadcast(bench)

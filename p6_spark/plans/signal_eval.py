@@ -41,7 +41,9 @@ chk AS (
   -- where DuckDB // yields NULL (silent) but Spark ANSI div RAISES —
   -- the exact cross-engine drift the fuzz sweep caught. Guard rides on
   -- n1, which every downstream term reads.
-  SELECT CASE WHEN n1 < 2 OR n2 < 2
+  -- coalesce mirrors the q_ks_two_sample/q_mannwhitney_u sibling
+  -- guards: counts are never NULL, but the guard must not depend on it
+  SELECT CASE WHEN coalesce(n1, 0) < 2 OR coalesce(n2, 0) < 2
               THEN error('q_welch_ttest: need >= 2 samples per group')
               ELSE n1 END AS n1,
          n2, s1, s2, ss1, ss2
@@ -102,7 +104,8 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # zero is NULL while Spark ANSI div raises — guard BOTH engines
     g = g.select(
         F.when(
-            (F.col("n1") < 2) | (F.col("n2") < 2),
+            (F.coalesce(F.col("n1"), F.lit(0)) < 2)
+            | (F.coalesce(F.col("n2"), F.lit(0)) < 2),
             F.raise_error(
                 F.lit("q_welch_ttest: need >= 2 samples per group")
             ).cast("long"),
