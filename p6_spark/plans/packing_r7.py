@@ -137,7 +137,15 @@ _MIX_W = {"en": 400_000, "de": 150_000, "fr": 150_000, "es": 150_000, "zh": 150_
     "pipe_domain_mixture",
     oracle=f"""
 WITH avail AS (
-  SELECT lang, cast(sum(n_chars) AS bigint) AS avail_chars
+  -- named loud failure (r10 fuzz discipline): a language whose
+  -- in-mixture docs sum to zero/NULL chars hits `// 0`, where DuckDB
+  -- yields NULL (silent) but Spark ANSI div RAISES — guard both
+  SELECT lang,
+         CASE WHEN coalesce(sum(n_chars), 0) < 1
+              THEN error('pipe_domain_mixture: language with zero '
+                         'available chars — rate division undefined; '
+                         'repair or drop the language before mixing')
+              ELSE cast(sum(n_chars) AS bigint) END AS avail_chars
   FROM documents
   WHERE lang IN {tuple(_MIX_W)!r}
   GROUP BY lang
@@ -183,6 +191,24 @@ def pipe_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("lang").isin(list(_MIX_W)))
         .groupBy("lang")
         .agg(F.sum("n_chars").alias("avail_chars"))
+        # named loud failure (r10 fuzz discipline): zero/NULL language
+        # mass reaches `div avail_chars` below, where Spark ANSI raises
+        # but DuckDB // yields NULL — raise the SAME error both engines
+        .select(
+            "lang",
+            F.when(
+                F.coalesce(F.col("avail_chars"), F.lit(0)) < 1,
+                F.raise_error(
+                    F.lit(
+                        "pipe_domain_mixture: language with zero available "
+                        "chars — rate division undefined; repair or drop "
+                        "the language before mixing"
+                    )
+                ).cast("long"),
+            )
+            .otherwise(F.col("avail_chars").cast("long"))
+            .alias("avail_chars"),
+        )
     )
     w = F.broadcast(
         load_table(spark, sf_dir, "documents")

@@ -93,6 +93,7 @@ def _load_all() -> None:
     from p6_spark.plans import retrieval_r9  # noqa: F401
     from p6_spark.plans import inference_r9  # noqa: F401
     from p6_spark.plans import prod_r10  # noqa: F401
+    from p6_spark.plans import prod_r11  # noqa: F401
 
 
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -524,7 +524,15 @@ _MIX_W = {"en": 400_000, "de": 150_000, "fr": 150_000, "es": 150_000, "zh": 150_
     "pipe_data_epochs",
     oracle=f"""
 WITH avail AS (
-  SELECT lang, cast(sum(n_chars) AS bigint) AS avail_chars
+  -- named loud failure (r10 fuzz discipline): zero/NULL language mass
+  -- reaches `// avail_chars` below, where DuckDB yields NULL (silent)
+  -- but Spark ANSI div RAISES — guard both engines identically
+  SELECT lang,
+         CASE WHEN coalesce(sum(n_chars), 0) < 1
+              THEN error('pipe_data_epochs: language with zero available '
+                         'chars — epoch division undefined; repair or '
+                         'drop the language before planning')
+              ELSE cast(sum(n_chars) AS bigint) END AS avail_chars
   FROM documents
   WHERE lang IN {tuple(_MIX_W)!r}
   GROUP BY lang
@@ -570,6 +578,23 @@ def pipe_data_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("lang").isin(*_MIX_W))
         .groupBy("lang")
         .agg(F.sum("n_chars").cast("long").alias("avail_chars"))
+        # named loud failure (r10 fuzz discipline): zero/NULL language
+        # mass reaches `div avail_chars` below — raise both engines
+        .select(
+            "lang",
+            F.when(
+                F.coalesce(F.col("avail_chars"), F.lit(0)) < 1,
+                F.raise_error(
+                    F.lit(
+                        "pipe_data_epochs: language with zero available "
+                        "chars — epoch division undefined; repair or drop "
+                        "the language before planning"
+                    )
+                ).cast("long"),
+            )
+            .otherwise(F.col("avail_chars"))
+            .alias("avail_chars"),
+        )
     )
     t = avail.agg(F.expr("2 * sum(avail_chars)").alias("total_target"))
     w = F.broadcast(

@@ -134,6 +134,9 @@ INVARIANT_QUERIES = [
     "pipe_quality_budget_cut_deadletter",  # routed split + two-phase rank
     "pipe_percentile_prune_deadletter",    # routed split + per-lang walk
     "pipe_sequence_packing_deadletter",    # routed split + prefix offsets
+    # round-11 mixture-family twins
+    "pipe_domain_mixture_deadletter",      # routed split + weight spine
+    "pipe_data_epochs_deadletter",         # routed split + weight spine
 ]
 
 
