@@ -90,6 +90,42 @@ def r8_names() -> list[str]:
         return json.load(f).get("r8", [])
 
 
+# Bench-noise sentinel (VERDICT r10 item 6): BENCH_NOTES' discard-the-
+# load-inflated-run judgment, as code. A fixed cheap calibration query
+# is timed (same min-of-N + gc protocol) BEFORE and AFTER the measured
+# pass; its cost is workload-independent, so a pre/post ratio beyond
+# _SENTINEL_THRESHOLD means the box got noisy mid-run and the artifact
+# flags itself "noisy": rerun on a quiet machine instead of trusting it.
+_SENTINEL_QUERY = "q06_revenue_filter"  # one filter-aggregate, ~0.15 s at sf0.1
+_SENTINEL_THRESHOLD = 1.2
+
+
+def measure_sentinel(spark, qs, sf_dir: str, runs: int = 3) -> float:
+    """Min-of-N timing of the fixed calibration query (post-warmup,
+    gc-drained — the same protocol as the measured queries)."""
+    spark._jvm.System.gc()
+    best = float("inf")
+    for _ in range(max(1, runs)):
+        t0 = time.perf_counter()
+        qs[_SENTINEL_QUERY](spark, sf_dir).collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
+def sentinel_verdict(pre_sec: float, post_sec: float,
+                     threshold: float = _SENTINEL_THRESHOLD) -> dict:
+    """Self-describing sentinel record: drift ratio (slower/faster,
+    >= 1) and the noisy flag. Pure so the flagging logic is testable."""
+    ratio = max(pre_sec, post_sec) / max(min(pre_sec, post_sec), 1e-9)
+    return {
+        "query": _SENTINEL_QUERY,
+        "pre_sec": round(pre_sec, 4),
+        "post_sec": round(post_sec, 4),
+        "drift_ratio": round(ratio, 4),
+        "noisy": ratio > threshold,
+    }
+
+
 def family_of(name: str) -> str:
     """Bench family = registry prefix (dd_/txt_/sim_/mm_/pipe_/er_/ml_/
     p6_/q*). Keeps the --all report readable at 262 queries."""
@@ -170,6 +206,13 @@ def main() -> None:
         except Exception:
             pass
 
+    # Sentinel pre-measurement (load canary — see measure_sentinel)
+    sentinel_pre = (
+        measure_sentinel(spark, qs, sf_dir, args.runs)
+        if _SENTINEL_QUERY in qs
+        else None
+    )
+
     # N timed runs per query, report the min — the standard steady-
     # state measurement (GC pauses and scheduler jitter inflate any
     # single run; the min is the query's actual cost). Round 2's bench
@@ -213,6 +256,10 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if sentinel_pre is not None:
+        out["sentinel"] = sentinel_verdict(
+            sentinel_pre, measure_sentinel(spark, qs, sf_dir, args.runs)
+        )
     if not args.all and iters:
         out["iterative_total"] = round(sum(timings[n] for n in iters), 4)
     if not args.all and r6:

@@ -51,6 +51,8 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    from bench import _SENTINEL_QUERY, measure_sentinel, sentinel_verdict
+
     names = args.names or list(QUERIES)
     out: dict = {
         "_doc": args.doc or f"registry oracle sweep at {args.sf}",
@@ -59,6 +61,15 @@ def main() -> int:
         "n_green": 0,
         "queries": {},
     }
+    # load canary (VERDICT r10 item 6): pre/post calibration timing —
+    # a noisy flag means the box got busy mid-sweep and per-query
+    # seconds in this artifact are not comparable across runs
+    builders = {n: q.build for n, q in QUERIES.items()}
+    sentinel_pre = (
+        measure_sentinel(spark, builders, args.sf)
+        if _SENTINEL_QUERY in builders
+        else None
+    )
     n_green = 0
     for name in names:
         q = QUERIES[name]
@@ -95,6 +106,17 @@ def main() -> int:
         except Exception:
             pass
     out["n_green"] = n_green
+    if sentinel_pre is not None:
+        out["sentinel"] = sentinel_verdict(
+            sentinel_pre, measure_sentinel(spark, builders, args.sf)
+        )
+        if out["sentinel"]["noisy"]:
+            print(
+                f"NOISY RUN: sentinel drifted "
+                f"{out['sentinel']['drift_ratio']}x — per-query seconds "
+                "in this artifact are not comparable; rerun quiet",
+                flush=True,
+            )
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     print(f"\n{n_green}/{len(names)} green -> {args.out}", flush=True)

@@ -1,0 +1,82 @@
+"""Round-11 bench-noise sentinel (VERDICT r10 item 6): BENCH_NOTES'
+manual discard-the-load-inflated-run judgment is now code — bench.py
+and scripts/registry_sweep.py time a fixed calibration query before and
+after the measured pass and flag the artifact "noisy" past a 1.2x
+drift. Pins: the verdict logic (both directions, boundary), the
+measurement protocol returning a sane timing, and the end-to-end
+artifact field."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from bench import (
+    _SENTINEL_QUERY,
+    _SENTINEL_THRESHOLD,
+    measure_sentinel,
+    sentinel_verdict,
+)
+from p6_spark.plans import get_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_verdict_flags_slowdown_and_speedup_symmetrically():
+    assert sentinel_verdict(0.10, 0.13)["noisy"]  # post 1.3x slower
+    assert sentinel_verdict(0.13, 0.10)["noisy"]  # pre was the loaded one
+    assert not sentinel_verdict(0.10, 0.11)["noisy"]
+    assert not sentinel_verdict(0.10, 0.10)["noisy"]
+
+
+def test_verdict_boundary_is_strict():
+    v = sentinel_verdict(0.10, 0.12)  # exactly the 1.2x threshold
+    assert v["drift_ratio"] == pytest.approx(1.2)
+    assert not v["noisy"]
+    assert sentinel_verdict(0.10, 0.121)["noisy"]
+
+
+def test_verdict_record_shape():
+    v = sentinel_verdict(0.1234567, 0.1)
+    assert v["query"] == _SENTINEL_QUERY
+    assert set(v) == {"query", "pre_sec", "post_sec", "drift_ratio", "noisy"}
+    assert _SENTINEL_THRESHOLD == 1.2
+
+
+def test_measure_sentinel_times_the_calibration_query(spark):
+    qs = get_queries()
+    assert _SENTINEL_QUERY in qs
+    sec = measure_sentinel(spark, qs, SF, runs=2)
+    assert 0.0 < sec < 30.0
+
+
+def test_bench_artifact_carries_sentinel(tmp_path):
+    """End-to-end: a 2-query bench run at sf0.001 writes the sentinel
+    record into its artifact (fresh JVM subprocess, ~40 s)."""
+    out = tmp_path / "bench_sentinel.json"
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR=SF,
+        SPARK_GRAFT_BENCH_QUERIES="q01_pricing_summary,q06_revenue_filter",
+    )
+    r = subprocess.run(
+        [sys.executable, "bench.py", "--runs", "1", "--out", str(out)],
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    artifact = json.loads(out.read_text())
+    s = artifact["sentinel"]
+    assert s["query"] == _SENTINEL_QUERY
+    assert s["pre_sec"] > 0 and s["post_sec"] > 0
+    assert isinstance(s["noisy"], bool)
+    # the stdout line carries it too (driver-visible)
+    stdout_line = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stdout_line["sentinel"] == s
