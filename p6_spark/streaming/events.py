@@ -339,7 +339,11 @@ def write_time_chunks(spark, sf_dir: str, out_dir: str, n_chunks: int) -> str:
     Driver-side pandas on purpose: this is a measurement/test harness
     that materializes an ordered file archive, not a query operator —
     at production scale the archive already exists (Kafka/object-store
-    landing files); nothing here runs in a registered query plan."""
+    landing files); nothing here runs in a registered query plan.
+    EXACTLY-equal row counts per chunk make the watermark-bound test's
+    analytic state ceiling deterministic; for large SFs use
+    ``write_time_chunks_distributed`` (no driver materialization,
+    approximately-equal chunks)."""
     import os
     import time
 
@@ -358,6 +362,50 @@ def write_time_chunks(spark, sf_dir: str, out_dir: str, n_chunks: int) -> str:
         path = os.path.join(out_dir, f"chunk_{i:04d}.parquet")
         pq.write_table(pa.Table.from_pandas(chunk, preserve_index=False), path)
         os.utime(path, (time.time() - n_chunks + i,) * 2)
+    return out_dir
+
+
+def write_time_chunks_distributed(
+    spark, sf_dir: str, out_dir: str, n_chunks: int
+) -> str:
+    """Distributed twin of ``write_time_chunks`` (round-11, VERDICT r10
+    item 7): the events table is range-partitioned on ``ts`` into
+    ~``n_chunks`` time-ordered partitions and written EXECUTOR-side
+    (``repartitionByRange`` — non-overlapping ascending ranges, ties
+    colocated); the driver only renames part files into the
+    ``chunk_%04d.parquet`` layout and stamps ascending mtimes — file
+    METADATA, never data. This removes the last driver-side
+    ``toPandas`` materialization in the tree, so the streaming decade
+    harness can chunk sf1.0+ without driver memory pressure.
+
+    Contract vs the pandas form: chunks are time-ordered with ascending
+    mtimes and cover every row exactly once; per-chunk row counts are
+    range-sampler-approximate rather than exactly equal (and may merge
+    below ``n_chunks`` files when ts ties or skew collapse ranges) —
+    irrelevant to the replayable-micro-batch harness, which needs
+    ordered chunks, not equal ones."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from p6_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = os.path.join(out_dir, "_chunks_tmp")
+    (
+        ev.repartitionByRange(n_chunks, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    parts = sorted(glob.glob(os.path.join(tmp, "part-*.parquet")))
+    now = time.time()
+    for i, p in enumerate(parts):
+        path = os.path.join(out_dir, f"chunk_{i:04d}.parquet")
+        shutil.move(p, path)
+        os.utime(path, (now - len(parts) + i,) * 2)
+    shutil.rmtree(tmp)
     return out_dir
 
 

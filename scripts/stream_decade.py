@@ -88,11 +88,14 @@ def main() -> None:
         read_chunked_stream,
         session_window_stats,
         tumbling_counts,
-        write_time_chunks,
+        write_time_chunks_distributed,
     )
 
     chunk_dir = tempfile.mkdtemp(prefix="stream_decade_")
-    write_time_chunks(spark, args.sf_dir, chunk_dir, args.chunks)
+    # distributed twin (r11): chunking sf1.0+ no longer funnels the
+    # events table through driver pandas — executors write the ranges,
+    # the driver only renames files and stamps mtimes
+    write_time_chunks_distributed(spark, args.sf_dir, chunk_dir, args.chunks)
 
     out = {"sf_dir": args.sf_dir, "n_chunks": args.chunks, "queries": {}}
     for name, build in [
