@@ -103,7 +103,7 @@ def train_centroids(
             by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
         centroids = [
             [by_cid[c][p] for p in sorted(by_cid[c])] if c in by_cid else centroids[c]
-            for c in range(k)
+            for c in range(len(centroids))  # n < k: fewer seeds (r11 fix)
         ]
     return centroids
 
@@ -189,6 +189,11 @@ def train_centroids_fixed(
     q = corpus.select(F.col(id_col).alias("_id"), quantize(F.col(vec_col)).alias("qv"))
     seeds = q.orderBy(md5_int(F.col("_id")), F.col("_id")).limit(k).collect()
     centroids = [[int(x) for x in r["qv"]] for r in seeds]
+    # A corpus smaller than k yields len(centroids) = n < k (exactly the
+    # oracle's `WHERE cid < k` semantics). Rebuilding over range(k) here
+    # used to IndexError on that shape — caught by the r11 fuzz sweep
+    # (tests/test_fuzz_retrieval_r11.py shape 0) while the DuckDB twin
+    # computed happily; iterate over the centroids that exist.
     for _ in range(iters):
         assigned = _assign_fixed(q.select("qv"), "qv", centroids)
         sums = (
@@ -202,7 +207,7 @@ def train_centroids_fixed(
             by_cid.setdefault(r["cid"], {})[r["pos"]] = _trunc_div(r["s"], r["n"])
         centroids = [
             [by_cid[c][p] for p in sorted(by_cid[c])] if c in by_cid else centroids[c]
-            for c in range(k)
+            for c in range(len(centroids))
         ]
     return centroids
 

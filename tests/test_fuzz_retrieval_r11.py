@@ -401,3 +401,101 @@ def test_fuzz_pq_search_spark(spark, tmp_path, seed):
         {"embeddings": pdf}, {"embeddings": _EMB_SCHEMA},
     )
     assert [tuple(r) for r in df.collect()] == _pq_ref(pdf)
+
+
+# ---------------------------------------------------------------------------
+# sim_ivf_ann — fixed-point Lloyd's + probe selection + integer-L2 re-rank
+# ---------------------------------------------------------------------------
+
+
+def _ivf_panel(seed: int) -> pd.DataFrame:
+    """Shapes: 0 = fewer vectors than centroids, 1 = all-zero vectors
+    (every distance ties), 2 = identical vectors (centroid collapse),
+    3 = exactly k vectors."""
+    rng = random.Random(41_000 + seed)
+    shape = seed % 8
+    n = {0: 4, 1: rng.randint(4, 12), 2: rng.randint(4, 10), 3: 8}.get(
+        shape, rng.randint(9, 24)
+    )
+    base = [rng.randint(-64, 64) / 64 for _ in range(_DIM)]
+    rows = []
+    for vid in range(n):
+        if shape == 1:
+            vec = [0.0] * _DIM
+        elif shape == 2:
+            vec = list(base)
+        else:
+            vec = [rng.randint(-64, 64) / 64 for _ in range(_DIM)]
+        rows.append((vid, vec, rng.randint(0, 9)))
+    return pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+
+
+def _ivf_ref(pdf: pd.DataFrame) -> list[tuple]:
+    qv = {
+        int(r.vec_id): [rha(x * 10_000) for x in r.embedding]
+        for r in pdf.itertuples()
+    }
+    order = sorted(qv, key=lambda v: (_md5_int(str(v)), v))
+    cents = {cid: list(qv[order[cid]]) for cid in range(min(8, len(order)))}
+
+    def d2(a: list[int], b: list[int]) -> int:
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    def assign(c):
+        return {
+            vid: min((d2(v, m), cid) for cid, m in c.items())[1]
+            for vid, v in qv.items()
+        }
+
+    for _ in range(2):  # two unrolled Lloyd rounds
+        a = assign(cents)
+        new = {}
+        for cid, m in cents.items():
+            members = [qv[vid] for vid, c in a.items() if c == cid]
+            if members:
+                new[cid] = [
+                    tdiv(sum(v[p] for v in members), len(members))
+                    for p in range(_DIM)
+                ]
+            else:
+                new[cid] = m
+        cents = new
+    final_assign = assign(cents)
+    out = []
+    for q in sorted(v for v in qv if v < 3):
+        probes = sorted(
+            (d2(qv[q], m), cid) for cid, m in cents.items()
+        )[:2]
+        probe_cids = {cid for _, cid in probes}
+        scored = sorted(
+            (d2(qv[q], qv[vid]), vid)
+            for vid, cid in final_assign.items()
+            if cid in probe_cids and vid != q
+        )
+        out.extend(
+            (q, vid, d, rnk + 1) for rnk, (d, vid) in enumerate(scored[:5])
+        )
+    return out
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_fuzz_ivf_ann(seed):
+    pdf = _ivf_panel(seed)
+    got = _duck({"embeddings": pdf}, QUERIES["sim_ivf_ann"].oracle)
+    assert (
+        list(map(tuple, got[["query_id", "match_id", "dist2", "rnk"]].values))
+        == _ivf_ref(pdf)
+    )
+
+
+@pytest.mark.parametrize("seed", SPARK_SEEDS)
+def test_fuzz_ivf_ann_spark(spark, tmp_path, seed):
+    pdf = _ivf_panel(seed)
+    df = _spark_run(
+        spark, tmp_path, seed, "sim_ivf_ann",
+        {"embeddings": pdf}, {"embeddings": _EMB_SCHEMA},
+    )
+    got = [
+        (r["query_id"], r["match_id"], r["dist2"], r["rnk"]) for r in df.collect()
+    ]
+    assert got == _ivf_ref(pdf)
