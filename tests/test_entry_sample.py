@@ -1,7 +1,8 @@
 """The rotating driver-sample proposal in __spark_entry__ (VERDICT r8
-item 5; window widened round 10 per VERDICT r9 item 4): deterministic,
-50 names, valid, rotating — with the anchor window cut to the flagship
-+ Q1 + the 8 p6_* parity queries and 40 rotating picks per round."""
+item 5; window widened round 10 per VERDICT r9 item 4, widened again
+round 11 per VERDICT r10 item 2): deterministic, 50 names, valid,
+rotating — anchors cut to the flagship + headline + the three
+structurally-distinctive p6_* parity queries, 45 rotating picks."""
 
 from __future__ import annotations
 
@@ -19,9 +20,10 @@ def test_proposed_sample_is_deterministic_and_valid():
 
 
 def test_anchor_window_is_flagship_plus_parity():
-    assert e._FIXED_N == 10 and e._ROTATING_N == 40
+    assert e._FIXED_N == 5 and e._ROTATING_N == 45
     assert e._ANCHORS[0] == "q05_region_revenue"  # entry()'s flagship
-    assert sum(n.startswith("p6_") for n in e._ANCHORS) == 8
+    assert "q01_pricing_summary" in e._ANCHORS  # the headline aggregate
+    assert sum(n.startswith("p6_") for n in e._ANCHORS) == 3
 
 
 def test_sample_rotates_across_rounds_with_stable_anchors():
