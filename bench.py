@@ -81,6 +81,13 @@ def r10_names() -> list[str]:
         return json.load(f).get("r10", [])
 
 
+def r11_names() -> list[str]:
+    """Round-11 mixture dead-letter twins (BENCH_MANIFEST 'r11'):
+    timed, reported in "queries" + "r11_total"."""
+    with open(_MANIFEST) as f:
+        return json.load(f).get("r11", [])
+
+
 def r8_names() -> list[str]:
     """Fifth manifest section (appended round 8): the curation family
     (shard balance, curriculum order, dataloader plan, mutual-kNN
@@ -174,10 +181,16 @@ def main() -> None:
         for n in r10_names()
         if n in qs and n not in head + iters + r6 + r7 + r8 + r9 + r9b
     ]
+    r11 = [
+        n
+        for n in r11_names()
+        if n in qs
+        and n not in head + iters + r6 + r7 + r8 + r9 + r9b + r10
+    ]
     names = (
         list(qs)
         if args.all
-        else head + iters + r6 + r7 + r8 + r9 + r9b + r10
+        else head + iters + r6 + r7 + r8 + r9 + r9b + r10 + r11
     )
     # Optional comma-separated subset for local iteration / regression
     # bisection (e.g. SPARK_GRAFT_BENCH_QUERIES=q01_pricing_summary,q06_...)
@@ -193,6 +206,7 @@ def main() -> None:
         r9 = [n for n in r9 if n in keep]
         r9b = [n for n in r9b if n in keep]
         r10 = [n for n in r10 if n in keep]
+        r11 = [n for n in r11 if n in keep]
 
     # Warmup: run every query once (untimed) so JVM startup +
     # WholeStageCodegen (Janino) compilation isn't billed to the timed
@@ -274,6 +288,8 @@ def main() -> None:
         out["r9b_total"] = round(sum(timings[n] for n in r9b), 4)
     if not args.all and r10:
         out["r10_total"] = round(sum(timings[n] for n in r10), 4)
+    if not args.all and r11:
+        out["r11_total"] = round(sum(timings[n] for n in r11), 4)
     if args.all:
         fams: dict[str, float] = {}
         for n, t in timings.items():
