@@ -78,17 +78,49 @@ def _current_round() -> int:
     return len(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))) + 1
 
 
+def _certified_names() -> set[str]:
+    """Query names that already appear in ANY committed driver
+    correctness artifact (certified or attempted — either way the
+    driver has a record for them)."""
+    import glob
+    import json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    seen: set[str] = set()
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                seen |= set(json.load(f))
+        except (OSError, ValueError):
+            continue
+    return seen
+
+
 def proposed_sample(round_no: int | None = None) -> list[str]:
     """Deterministic 50-query correctness sample for a given round:
-    _FIXED_N stable anchors + _ROTATING_N round-keyed rotating picks."""
+    _FIXED_N stable anchors + _ROTATING_N round-keyed rotating picks.
+
+    Round 11: the rotation is coverage-aware — pure md5 rotation wastes
+    ~1/4 of the window re-picking names a driver artifact already
+    records (r10: 34 fresh of 40; this round's hash would give 35 of
+    45). Names with NO driver record sort ahead of recorded ones
+    (md5-keyed within each group, so the pick is still deterministic
+    and round-rotating), which keeps every rotating slot fresh until
+    the registry is fully driver-certified, then degrades to exactly
+    the old behavior."""
     import hashlib
 
     names = list(get_queries())
     rn = _current_round() if round_no is None else round_no
     fixed = [n for n in _ANCHORS if n in names]
     rest = [n for n in names if n not in _ANCHORS]
+    certified = _certified_names()
     rotating = sorted(
-        rest, key=lambda n: hashlib.md5(f"{rn}:{n}".encode()).hexdigest()
+        rest,
+        key=lambda n: (
+            n in certified,
+            hashlib.md5(f"{rn}:{n}".encode()).hexdigest(),
+        ),
     )[:_ROTATING_N]
     return fixed + rotating
 

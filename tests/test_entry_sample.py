@@ -26,6 +26,19 @@ def test_anchor_window_is_flagship_plus_parity():
     assert sum(n.startswith("p6_") for n in e._ANCHORS) == 3
 
 
+def test_rotation_prefers_never_certified_names():
+    # every rotating slot must go to a name with no driver record while
+    # enough such names remain (round 11: 211 uncertified >> 45 slots)
+    certified = e._certified_names()
+    sample = e.proposed_sample()
+    rotating = sample[e._FIXED_N :]
+    uncertified_pool = [
+        n for n in e.queries() if n not in certified and n not in e._ANCHORS
+    ]
+    if len(uncertified_pool) >= e._ROTATING_N:
+        assert all(n not in certified for n in rotating)
+
+
 def test_sample_rotates_across_rounds_with_stable_anchors():
     s10 = e.proposed_sample(round_no=10)
     s11 = e.proposed_sample(round_no=11)
