@@ -108,8 +108,15 @@ _SENTINEL_THRESHOLD = 1.2
 
 
 def measure_sentinel(spark, qs, sf_dir: str, runs: int = 3) -> float:
-    """Min-of-N timing of the fixed calibration query (post-warmup,
-    gc-drained — the same protocol as the measured queries)."""
+    """Min-of-N timing of the fixed calibration query, gc-drained,
+    after ONE untimed self-warm run. The self-warm matters for the
+    PRE measurement in registry_sweep.py, which fires right after
+    session creation: without it the first timed run pays codegen +
+    parquet listing + JVM JIT (and, in back-to-back sweep queues, the
+    previous JVM's ~30 s forced-shutdown burn), so the pre reads
+    high and flags an idle box as noisy (observed 1.9-6.2x phantom
+    drift on the first r11 panels; their green counts are unaffected)."""
+    qs[_SENTINEL_QUERY](spark, sf_dir).collect()
     spark._jvm.System.gc()
     best = float("inf")
     for _ in range(max(1, runs)):

@@ -47,6 +47,34 @@ def test_verdict_record_shape():
     assert _SENTINEL_THRESHOLD == 1.2
 
 
+def test_measure_sentinel_self_warms_before_timing():
+    """One untimed warm run precedes the N timed runs (the PRE
+    measurement in registry_sweep fires on a cold session; without the
+    self-warm, codegen/JIT/previous-JVM shutdown burn lands in the
+    first timed run and an idle box reads as noisy)."""
+    calls = {"n": 0}
+
+    class _DF:
+        def collect(self):
+            calls["n"] += 1
+
+    class _JVMSys:
+        @staticmethod
+        def gc():
+            pass
+
+    class _JVM:
+        System = _JVMSys
+
+    class _Spark:
+        _jvm = _JVM()
+
+    qs = {_SENTINEL_QUERY: lambda spark, sf: _DF()}
+    sec = measure_sentinel(_Spark(), qs, SF, runs=2)
+    assert calls["n"] == 3  # 1 warm + 2 timed
+    assert sec >= 0.0
+
+
 def test_measure_sentinel_times_the_calibration_query(spark):
     qs = get_queries()
     assert _SENTINEL_QUERY in qs
