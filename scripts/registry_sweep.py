@@ -51,7 +51,11 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    from bench import _SENTINEL_QUERY, measure_sentinel, sentinel_verdict
+    from bench import (
+        _SENTINEL_QUERY,
+        measure_sentinel,
+        sentinel_samples_verdict,
+    )
 
     names = args.names or list(QUERIES)
     out: dict = {
@@ -61,17 +65,20 @@ def main() -> int:
         "n_green": 0,
         "queries": {},
     }
-    # load canary (VERDICT r10 item 6): pre/post calibration timing —
-    # a noisy flag means the box got busy mid-sweep and per-query
-    # seconds in this artifact are not comparable across runs
+    # load canary (VERDICT r10 item 6): calibration timing sampled at
+    # quartile checkpoints DURING the sweep — a noisy flag means the
+    # box load changed mid-sweep and per-query seconds in this
+    # artifact are not comparable across runs. A fresh-session PRE
+    # measurement is structurally JIT-cold vs a post-sweep one and
+    # flags idle boxes (the first five r11 panels, all pre~2.5x post
+    # uniformly — the bias signature; real load would vary), so all
+    # samples are taken at equal warmth instead (sentinel_samples_
+    # verdict docstring has the measured numbers).
     builders = {n: q.build for n, q in QUERIES.items()}
-    sentinel_pre = (
-        measure_sentinel(spark, builders, args.sf)
-        if _SENTINEL_QUERY in builders
-        else None
-    )
+    checkpoints = sorted({max(1, len(names) * k // 4) for k in (1, 2, 3, 4)})
+    sentinel_samples: list[float] = []
     n_green = 0
-    for name in names:
+    for i, name in enumerate(names, 1):
         q = QUERIES[name]
         t0 = time.time()
         rec: dict = {}
@@ -105,11 +112,13 @@ def main() -> int:
                 rdd.unpersist()
         except Exception:
             pass
+        if _SENTINEL_QUERY in builders and i in checkpoints:
+            sentinel_samples.append(
+                measure_sentinel(spark, builders, args.sf)
+            )
     out["n_green"] = n_green
-    if sentinel_pre is not None:
-        out["sentinel"] = sentinel_verdict(
-            sentinel_pre, measure_sentinel(spark, builders, args.sf)
-        )
+    if sentinel_samples:
+        out["sentinel"] = sentinel_samples_verdict(sentinel_samples)
         if out["sentinel"]["noisy"]:
             print(
                 f"NOISY RUN: sentinel drifted "

@@ -19,6 +19,7 @@ from bench import (
     _SENTINEL_QUERY,
     _SENTINEL_THRESHOLD,
     measure_sentinel,
+    sentinel_samples_verdict,
     sentinel_verdict,
 )
 from p6_spark.plans import get_queries
@@ -45,6 +46,17 @@ def test_verdict_record_shape():
     assert v["query"] == _SENTINEL_QUERY
     assert set(v) == {"query", "pre_sec", "post_sec", "drift_ratio", "noisy"}
     assert _SENTINEL_THRESHOLD == 1.2
+
+
+def test_samples_verdict_flags_mid_run_load_step():
+    """Registry sweeps sample at equal warmth DURING the run; a load
+    step mid-sweep shows as a sample jumping past the threshold."""
+    quiet = sentinel_samples_verdict([0.11, 0.10, 0.115, 0.105])
+    assert not quiet["noisy"]
+    assert quiet["samples_sec"] == [0.11, 0.10, 0.115, 0.105]
+    loaded = sentinel_samples_verdict([0.10, 0.10, 0.26, 0.25])
+    assert loaded["noisy"] and loaded["drift_ratio"] == pytest.approx(2.6)
+    assert set(quiet) == {"query", "samples_sec", "drift_ratio", "noisy"}
 
 
 def test_measure_sentinel_self_warms_before_timing():
