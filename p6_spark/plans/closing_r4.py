@@ -177,10 +177,21 @@ SELECT un.k_used,
        CASE WHEN un.k_used < {_KMV_K} THEN un.k_used
             ELSE ({_KMV_K - 1} * 4294967296) // un.kth END AS est_union,
        inter.n_both,
-       cast(inter.n_both * 1000000 // un.k_used AS bigint) AS jaccard_x1e6,
-       cast((CASE WHEN un.k_used < {_KMV_K} THEN un.k_used
-                  ELSE ({_KMV_K - 1} * 4294967296) // un.kth END
-             * inter.n_both) // un.k_used AS bigint) AS est_intersection
+       -- named loud failure (r10 fuzz discipline): an EMPTY union sketch
+       -- reaches `// k_used` where DuckDB // 0 silently NULLs but Spark
+       -- ANSI div raises — raise the SAME error on both engines
+       CASE WHEN un.k_used < 1
+            THEN error('q_kmv_setops: empty KMV sketch — no orders on '
+                       'either side of the cut; jaccard undefined')
+            ELSE cast(inter.n_both * 1000000 // un.k_used AS bigint)
+            END AS jaccard_x1e6,
+       CASE WHEN un.k_used < 1
+            THEN error('q_kmv_setops: empty KMV sketch — no orders on '
+                       'either side of the cut; jaccard undefined')
+            ELSE cast((CASE WHEN un.k_used < {_KMV_K} THEN un.k_used
+                            ELSE ({_KMV_K - 1} * 4294967296) // un.kth END
+                       * inter.n_both) // un.k_used AS bigint)
+            END AS est_intersection
 FROM un, inter
 """,
     doc="KMV sketch SET OPERATIONS — the reason k-minimum-values beats "
@@ -235,21 +246,32 @@ def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     est_union = F.when(
         F.col("k_used") < _KMV_K, F.col("k_used").cast("long")
     ).otherwise(F.expr(f"({_KMV_K - 1} * 4294967296L) div kth"))
+    # named loud failure (r10 fuzz discipline): an EMPTY union sketch
+    # reaches `div k_used` where Spark ANSI raises a bare DIVIDE_BY_ZERO
+    # but DuckDB // 0 silently NULLs — raise the SAME error both engines
+    _empty_guard = F.raise_error(
+        F.lit(
+            "q_kmv_setops: empty KMV sketch — no orders on "
+            "either side of the cut; jaccard undefined"
+        )
+    ).cast("long")
     return agg.select(
         "k_used",
         est_union.alias("est_union"),
         F.col("n_both").cast("long").alias("n_both"),
-        F.expr("cast(n_both * 1000000 div k_used as bigint)").alias(
-            "jaccard_x1e6"
-        ),
+        F.when(F.col("k_used") < 1, _empty_guard)
+        .otherwise(F.expr("cast(n_both * 1000000 div k_used as bigint)"))
+        .alias("jaccard_x1e6"),
     ).select(
         "k_used",
         "est_union",
         "n_both",
         "jaccard_x1e6",
-        F.expr("cast((est_union * n_both) div k_used as bigint)").alias(
-            "est_intersection"
-        ),
+        F.when(F.col("k_used") < 1, _empty_guard)
+        .otherwise(
+            F.expr("cast((est_union * n_both) div k_used as bigint)")
+        )
+        .alias("est_intersection"),
     )
 
 
