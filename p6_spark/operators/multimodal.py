@@ -141,10 +141,10 @@ def _decode_wav(payload: bytes) -> list[float]:
     return head + feats
 
 
-def _decode_ppm(payload: bytes) -> list[float]:
-    """Real binary-PPM (P6) feature-extract: [width, height, maxval,
-    mean R, mean G, mean B normalized to maxval]. Header tokens are
-    whitespace-separated with '#' comments, per the Netpbm spec."""
+def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse a binary-PPM (P6) header: (width, height, maxval,
+    pixel_data_offset). Header tokens are whitespace-separated with
+    '#' comments, per the Netpbm spec."""
     toks: list[int] = []
     pos = 2  # past 'P6'
     while len(toks) < 3:
@@ -163,6 +163,13 @@ def _decode_ppm(payload: bytes) -> list[float]:
             raise ValueError("malformed PPM header")
     pos += 1  # single whitespace after maxval
     width, height, maxval = toks
+    return width, height, maxval, pos
+
+
+def _decode_ppm(payload: bytes) -> list[float]:
+    """Real binary-PPM (P6) feature-extract: [width, height, maxval,
+    mean R, mean G, mean B normalized to maxval]."""
+    width, height, maxval, pos = _ppm_header(payload)
     n = width * height
     pix = payload[pos : pos + 3 * n]
     if len(pix) < 3 * n:
@@ -175,6 +182,29 @@ def _decode_ppm(payload: bytes) -> list[float]:
     return [float(width), float(height), float(maxval)] + [
         (s / n) / maxval for s in sums
     ]
+
+
+def _resize_ppm(payload: bytes, new_w: int, new_h: int) -> bytes:
+    """Real binary-PPM resize: nearest-neighbor resample to new_w x
+    new_h and re-encode with a canonical ``P6\\n{w} {h}\\n{maxval}\\n``
+    header. Source pixel for destination (x, y) is
+    ((x * src_w) // new_w, (y * src_h) // new_h) — pure integer
+    arithmetic, so the output bytes are deterministic across engines
+    and platforms."""
+    src_w, src_h, maxval, pos = _ppm_header(payload)
+    n = src_w * src_h
+    pix = payload[pos : pos + 3 * n]
+    if len(pix) < 3 * n:
+        raise ValueError("truncated PPM pixel data")
+    out = bytearray(f"P6\n{new_w} {new_h}\n{maxval}\n".encode())
+    for y in range(new_h):
+        sy = (y * src_h) // new_h
+        row = sy * src_w
+        for x in range(new_w):
+            sx = (x * src_w) // new_w
+            i = 3 * (row + sx)
+            out += pix[i : i + 3]
+    return bytes(out)
 
 
 def decode_features(payload: bytes) -> list[float]:
@@ -222,15 +252,37 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def _resize_payload(b, width: int, height: int):
+    """Per-payload resize dispatch (same posture as decode_features):
+    REAL nearest-neighbor resize for recognized binary PPM, byte-
+    identical passthrough for opaque payloads, and a loud ValueError
+    for opaque payloads under ``P6_SPARK_REAL_DECODE``."""
+    if b is not None and _is_ppm(b):
+        return _resize_ppm(b, width, height)
+    if b is not None and os.environ.get("P6_SPARK_REAL_DECODE"):
+        raise ValueError(
+            "P6_SPARK_REAL_DECODE: unrecognized image container "
+            f"(head={bytes(b)[:4]!r}); only binary PPM resizes with the "
+            "stdlib codec"
+        )
+    return b
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image-resize plumbing: filters to images, routes payloads through a
-    pandas batch stage that would call the codec; stubbed to re-emit the
-    payload with updated metadata."""
+    """Image resize via an Arrow mapInPandas stage: filters to images
+    and routes payloads through the codec. A recognized binary-PPM
+    container is REALLY resized (nearest-neighbor resample + re-encode,
+    r11's stdlib codec); opaque payloads pass through byte-identical
+    with updated declared dims (the certified harness-corpus path).
+    With ``P6_SPARK_REAL_DECODE`` set, an opaque image payload RAISES
+    instead — the same loud-failure posture as ``decode_features``."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
-            # real impl: decode -> resample to width x height -> re-encode
+            pdf["payload"] = pdf["payload"].map(
+                lambda b: _resize_payload(b, width, height)
+            )
             pdf["width"] = width
             pdf["height"] = height
             yield pdf[["media_id", "payload", "width", "height"]]

@@ -2565,13 +2565,15 @@ SELECT doc_id AS media_id,
 FROM documents WHERE doc_id % 3 = 0
 ORDER BY media_id
 """,
-    doc="Image-resize plumbing (operators/multimodal.resize_images): "
-    "documents re-cast as image payloads routed through the Arrow "
-    "mapInPandas resize stage (codec stubbed: payload passes through, "
-    "target dims attached — a real PIL resample drops in without touching "
-    "the Spark plumbing). The oracle certifies the stage end-to-end via "
-    "SQL facts: payload identity (md5), byte length, emitted dimensions. "
-    "Payload bytes never leave the executor; Python sees Arrow batches.",
+    doc="Image resize (operators/multimodal.resize_images): documents "
+    "re-cast as image payloads routed through the Arrow mapInPandas "
+    "resize stage. r11: a recognized binary-PPM payload is REALLY "
+    "resized (nearest-neighbor resample + re-encode, stdlib codec, "
+    "tests/test_multimodal_codec_r11.py); these opaque text payloads "
+    "take the byte-identical passthrough arm, which is what the oracle "
+    "certifies end-to-end via SQL facts: payload identity (md5), byte "
+    "length, emitted dimensions. Payload bytes never leave the "
+    "executor; Python sees Arrow batches.",
     tags=("multimodal", "mapinpandas"),
 )
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:

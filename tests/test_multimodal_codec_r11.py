@@ -145,3 +145,76 @@ def test_extract_features_runs_real_codec_end_to_end(spark):
         pytest.approx(x) for x in _decode_stub(opaque)
     ]
     assert got[0]["n_bytes"] == len(wav)
+
+
+def test_resize_ppm_nearest_neighbor_exact():
+    # 2x2 source with distinct corner colors; 4x4 NN upsample maps
+    # dst (x,y) -> src ((x*2)//4, (y*2)//4): each corner becomes a 2x2 block
+    from p6_spark.operators.multimodal import _ppm_header, _resize_ppm
+
+    corners = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+    src = _ppm_bytes(2, 2, corners)
+    out = _resize_ppm(src, 4, 4)
+    w, h, maxval, pos = _ppm_header(out)
+    assert (w, h, maxval) == (4, 4, 255)
+    pix = out[pos:]
+    assert len(pix) == 4 * 4 * 3
+    got = [
+        tuple(pix[3 * (y * 4 + x) : 3 * (y * 4 + x) + 3])
+        for y in range(4)
+        for x in range(4)
+    ]
+    want = [
+        corners[(y // 2) * 2 + (x // 2)] for y in range(4) for x in range(4)
+    ]
+    assert got == want
+    # downsample back to 2x2 recovers the corners exactly
+    back = _resize_ppm(out, 2, 2)
+    _, _, _, bpos = _ppm_header(back)
+    assert [
+        tuple(back[bpos + 3 * i : bpos + 3 * i + 3]) for i in range(4)
+    ] == corners
+
+
+def test_resize_images_really_resizes_ppm_and_passes_opaque(spark):
+    from p6_spark.operators.multimodal import resize_images
+
+    ppm = _ppm_bytes(2, 2, [(1, 2, 3), (4, 5, 6), (7, 8, 9), (10, 11, 12)])
+    opaque = bytes(range(48))
+    media = spark.createDataFrame(
+        [
+            (0, "image", "image/x-portable-pixmap", ppm, (2, 2, None)),
+            (1, "image", "application/octet-stream", opaque, (8, 6, None)),
+            (2, "audio", "audio/wav", b"RIFFxxxx", (None, None, 5)),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {
+        r["media_id"]: r
+        for r in resize_images(media, 3, 3).orderBy("media_id").collect()
+    }
+    assert sorted(rows) == [0, 1]  # audio filtered out
+    from p6_spark.operators.multimodal import _ppm_header
+
+    w, h, maxval, pos = _ppm_header(bytes(rows[0]["payload"]))
+    assert (w, h) == (3, 3) and rows[0]["width"] == 3
+    assert len(bytes(rows[0]["payload"])) == pos + 27
+    # opaque image passes through byte-identical (certified harness arm)
+    assert bytes(rows[1]["payload"]) == opaque
+
+
+def test_resize_payload_strict_raises_on_opaque(monkeypatch):
+    # driver-side dispatch test (the executor env does not track a
+    # post-fork monkeypatch, same pattern as the decode_features pin)
+    from p6_spark.operators.multimodal import _resize_payload
+
+    opaque = bytes(range(16))
+    monkeypatch.delenv("P6_SPARK_REAL_DECODE", raising=False)
+    assert _resize_payload(opaque, 2, 2) == opaque
+    assert _resize_payload(None, 2, 2) is None
+    monkeypatch.setenv("P6_SPARK_REAL_DECODE", "1")
+    with pytest.raises(ValueError, match="unrecognized image container"):
+        _resize_payload(opaque, 2, 2)
+    # recognized PPM resizes regardless of the flag
+    ppm = _ppm_bytes(2, 2, [(1, 2, 3)] * 4)
+    assert _resize_payload(ppm, 1, 1)[-3:] == bytes((1, 2, 3))
