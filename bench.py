@@ -247,6 +247,16 @@ def main() -> None:
         except Exception:
             pass
 
+    # Post-warmup quiesce: a full-registry warmup (~320 queries) leaves
+    # the JVM with seconds of trailing GC/JIT/compilation churn that
+    # inflates the sentinel pre AND the first timed queries (r11 --all
+    # attempt 1: pre 0.44 s vs post 0.24 s, txt_train_order 21x its r10
+    # time — early-run noise the sentinel correctly flagged). Drain it
+    # before any timed measurement so the sentinel reads box load, not
+    # our own warmup wake.
+    spark._jvm.System.gc()
+    time.sleep(10)
+
     # Sentinel pre-measurement (load canary — see measure_sentinel)
     sentinel_pre = (
         measure_sentinel(spark, qs, sf_dir, args.runs)
