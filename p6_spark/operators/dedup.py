@@ -105,6 +105,18 @@ def lsh_candidate_pairs(
         F.col("band.band_val").alias("band_val"),
     )
     if max_bucket is not None:
+        # Round-11 A/B note: a band-partitioned window count (the
+        # similarity.py shape) was tried here and measured SLOWER on
+        # every lsh_candidate_pairs caller (dd_minhash_lsh_pairs 1.18x,
+        # pipe_llm_corpus 1.24x, dd_cluster_best 1.18x, sf0.1
+        # min-of-3): downstream the capped stream feeds a SELF-join on
+        # the band key, so AQE's runtime exchange reuse already dedups
+        # the signature subtree across all three references, the tiny
+        # `small` relation broadcast-joins without re-exchanging the
+        # probe side, and the window's extra per-side sort is pure
+        # overhead. The groupBy + join-back stays. (dd_substring_spans
+        # is the opposite shape — no self-join, expensive un-exchanged
+        # probe subtree — and keeps the window form.)
         small = (
             banded.groupBy("band_idx", "band_val")
             .agg(F.count(F.lit(1)).alias("bucket_n"))

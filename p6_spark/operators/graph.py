@@ -64,40 +64,53 @@ def connected_components(
     max_iter: int = 25,
 ) -> DataFrame:
     """(node, component) for every node appearing in `edges`; the
-    component id is the smallest node id in the component."""
+    component id is the smallest node id in the component.
+
+    Semantics are the SAME bounded synchronous min-label fixpoint the
+    DuckDB twins replay (_sql_bounded_cc: l0..l{max_iter}): after k
+    rounds label(v) = min{u : dist(u, v) <= k}. Round-11 optimization
+    (guide §2.4 — remove shuffles/jobs, identical results):
+
+    - The init round is FUSED: l1 = min(u, min over neighbors v) is one
+      groupBy over the symmetric edge list, replacing the distinct-node
+      init plus a full first propagation round (which at l0 reduces to
+      exactly that expression because every label still equals its node
+      id). The loop then runs at most max_iter - 1 further rounds, so
+      the reachable bound stays l{max_iter} exactly.
+    - Convergence detection carries the previous label through the
+      round's projection and counts label != _old on the materialized
+      blocks — a cheap scan instead of the old join of two checkpoints
+      (one full shuffle join + exchange per round removed).
+    """
     sym = _materialize(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
     )
-    labels = (
-        sym.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+    # fused round 1 (see docstring): every node appears as u in sym
+    labels = _materialize(
+        sym.groupBy("u").agg(
+            F.least(F.col("u"), F.min("v")).alias("label")
+        ).select(F.col("u").alias("node"), "label")
     )
-    for _ in range(max_iter):
+    for _ in range(max_iter - 1):
         neighbor_min = (
             sym.join(labels, sym.v == labels.node)
             .groupBy("u")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        new_labels = _materialize(  # truncate lineage each round
             labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
             .select(
                 "node",
+                F.col("label").alias("_old"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
             )
         )
-        new_labels = _materialize(new_labels)  # truncate lineage each round
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("_old")).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("label").alias("component"))

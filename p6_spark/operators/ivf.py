@@ -180,15 +180,33 @@ def train_centroids_fixed(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pre_quantized: bool = False,
+    init: list[list[int]] | None = None,
 ) -> list[list[int]]:
     """Deterministic integer k-means. Init = the k corpus vectors with the
     smallest (md5_int(id), id); each Lloyd round assigns (codegen argmin)
     and recomputes centroids as trunc-div means of the quantized vectors.
     Only k*dim integers ever reach the driver. Empty clusters keep their
-    previous centroid."""
-    q = corpus.select(F.col(id_col).alias("_id"), quantize(F.col(vec_col)).alias("qv"))
-    seeds = q.orderBy(md5_int(F.col("_id")), F.col("_id")).limit(k).collect()
-    centroids = [[int(x) for x in r["qv"]] for r in seeds]
+    previous centroid.
+
+    Round-11 (guide §1.2/§2.4 — fewer corpus passes, identical model):
+    ``pre_quantized=True`` declares ``vec_col`` already holds the x1e4
+    quantized array<bigint> (callers materialize the quantized
+    projection once and feed the seed scan + every Lloyd round from it
+    instead of re-reading parquet + re-quantizing per job), and
+    ``init`` supplies the seed centroids directly — the
+    (md5_int(id), id) seed order is one fixed total order, so a single
+    k_max seed collect serves every smaller k as a prefix
+    (ml_kmeans_elbow trains k=2,4,8 from one collect)."""
+    q = corpus.select(
+        F.col(id_col).alias("_id"),
+        (F.col(vec_col) if pre_quantized else quantize(F.col(vec_col))).alias("qv"),
+    )
+    if init is not None:
+        centroids = [[int(x) for x in vec] for vec in init[:k]]
+    else:
+        seeds = q.orderBy(md5_int(F.col("_id")), F.col("_id")).limit(k).collect()
+        centroids = [[int(x) for x in r["qv"]] for r in seeds]
     # A corpus smaller than k yields len(centroids) = n < k (exactly the
     # oracle's `WHERE cid < k` semantics). Rebuilding over range(k) here
     # used to IndexError on that shape — caught by the r11 fuzz sweep
@@ -226,16 +244,21 @@ def ivf_topk_fixed(
     lists per query, exact integer-L2 re-rank inside the probed lists.
     Every emitted value (dist2, rnk) is a bigint/int — hash-exact across
     engines, which is what lets sim_ivf_ann carry a full DuckDB oracle."""
+    # Quantize ONCE and materialize: the seed scan, both Lloyd rounds,
+    # and the index assignment all read the same quantized projection
+    # (round-11; previously each of those jobs re-read parquet and
+    # re-ran the quantize transform). Identical arithmetic, 1 corpus
+    # scan instead of iters+2. At 100 TB swap the localCheckpoint for
+    # a persisted projection (or accept the re-scan); the pass-count
+    # win is structural either way.
+    q = corpus.select(
+        F.col(id_col).alias("match_id"), quantize(F.col(vec_col)).alias("mqv")
+    ).localCheckpoint()
     model = train_centroids_fixed(
-        corpus, k=num_centroids, iters=iters, id_col=id_col, vec_col=vec_col
+        q, k=num_centroids, iters=iters, id_col="match_id", vec_col="mqv",
+        pre_quantized=True,
     )
-    indexed = _assign_fixed(
-        corpus.select(
-            F.col(id_col).alias("match_id"), quantize(F.col(vec_col)).alias("mqv")
-        ),
-        "mqv",
-        model,
-    )
+    indexed = _assign_fixed(q, "mqv", model)
     carr = _centroid_array_long(model)
     dists = F.transform(
         carr,

@@ -112,11 +112,18 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    model = train_centroids_fixed(emb, k=8, iters=2)
+    # Round-11: one materialized quantized projection feeds the seed
+    # scan, both Lloyd rounds, and the coarse assignment (previously 4
+    # parquet re-reads + re-quantizes). The PQ code pass still reads
+    # the raw floats — it needs the un-quantized sign grid.
+    qc = emb.select(
+        "vec_id", quantize(F.col("embedding")).alias("qv")
+    ).localCheckpoint()
+    model = train_centroids_fixed(qc, k=8, iters=2, vec_col="qv", pre_quantized=True)
 
     # index build: coarse list assignment + PQ codes, one corpus pass each
     assigned = _assign_fixed(
-        emb.select(F.col("vec_id").alias("match_id"), quantize(F.col("embedding")).alias("mqv")),
+        qc.select(F.col("vec_id").alias("match_id"), F.col("qv").alias("mqv")),
         "mqv",
         model,
     ).select("match_id", "cid")

@@ -313,16 +313,25 @@ def dd_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pos", "shingle"),
         )
     )
-    dup = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("shingle")
-    )
-    hits = sh.join(dup, "shingle").withColumn(
-        "island",
-        F.col("pos")
-        - F.row_number().over(W.partitionBy("doc_id").orderBy("pos")),
+    # Round-11 (guide §2.4): duplicated-shingle detection via ONE
+    # shingle-partitioned window count. The old groupBy + join-back
+    # evaluated the shingle explode twice (aggregate input + join
+    # probe) and paid two shingle-keyed exchanges; the window keeps
+    # the same rows (count >= 2 per shingle) with one exchange and one
+    # evaluation. Skew exposure is unchanged — a degenerate hot
+    # shingle concentrated its hit rows in one partition under the
+    # join shape too.
+    hits = (
+        sh.withColumn(
+            "_c", F.count(F.lit(1)).over(W.partitionBy("shingle"))
+        )
+        .filter(F.col("_c") >= 2)
+        .drop("_c")
+        .withColumn(
+            "island",
+            F.col("pos")
+            - F.row_number().over(W.partitionBy("doc_id").orderBy("pos")),
+        )
     )
     spans = hits.groupBy("doc_id", "island").agg(
         F.min("pos").alias("s0"),

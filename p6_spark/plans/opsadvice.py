@@ -375,11 +375,24 @@ def ml_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_centroids_fixed,
     )
 
+    from p6_spark.operators.text import md5_int
+
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.select("vec_id", quantize(F.col("embedding")).alias("qv")).localCheckpoint()
+    # One seed collect serves all three k: the (md5_int(id), id) seed
+    # order is a fixed total order, so seeds(k) is a prefix of seeds(8)
+    # (round-11; previously 3 seed scans + 6 Lloyd jobs re-read parquet
+    # and re-quantized — now every pass reads the one checkpointed
+    # quantized projection). Identical models, identical output.
+    seed_rows = (
+        q.orderBy(md5_int(F.col("vec_id")), F.col("vec_id")).limit(8).collect()
+    )
+    seeds8 = [[int(x) for x in r["qv"]] for r in seed_rows]
     out = None
     for k in (2, 4, 8):
-        model = train_centroids_fixed(emb, k=k, iters=2)
+        model = train_centroids_fixed(
+            q, k=k, iters=2, vec_col="qv", pre_quantized=True, init=seeds8[:k]
+        )
         cent = spark.createDataFrame(
             [(cid, [int(x) for x in vec]) for cid, vec in enumerate(model)],
             "cid int, cvec array<bigint>",

@@ -182,6 +182,14 @@ def dd_blocking_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cp = sim.lsh_candidate_vec_pairs(emb).filter(
         (F.col("id_a") < _AUDIT_PANEL) & (F.col("id_b") < _AUDIT_PANEL)
     )
+    # Round-11 A/B note: two restructures were tried here and BOTH
+    # measured slower (sf0.1 min-of-3): (a) a tagged full-outer join
+    # producing all three counts in one aggregate (1.33x), (b)
+    # localCheckpointing the tiny panel-filtered frames first (1.14x).
+    # AQE's runtime exchange reuse already dedups the expensive
+    # full-corpus LSH subtree across the n_candidates and semi-join
+    # consumers, so both rewrites only added join/materialization
+    # overhead. The three-aggregate crossJoin shape stays.
     hit = truth.join(cp, ["id_a", "id_b"], "left_semi")
     n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     n_cand = cp.agg(F.count(F.lit(1)).alias("n_candidates"))

@@ -459,6 +459,13 @@ def sim_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
+    # Round-11 A/B note: materializing a quantized projection +
+    # checkpointing `indexed` (the ml_kmeans_elbow treatment) was
+    # tried and measured 1.44x SLOWER here (sf0.1 min-of-3): the three
+    # `indexed` consumers below share one AQE-reused exchange already,
+    # and the two extra materialization jobs cost more than the
+    # recompute they saved. Lazy plan retained — the measured-slower
+    # precedent, like q_graph_link_predict's r7 A/B.
     model = train_centroids_fixed(emb, k=8, iters=2)
     indexed = _assign_fixed(
         emb.select(F.col("vec_id").alias("match_id"), quantize(F.col("embedding")).alias("mqv")),

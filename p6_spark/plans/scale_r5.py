@@ -58,11 +58,16 @@ def pipe_sharded_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized artifacts in the sharded operating mode. The merged
     # survivor set is cut too before the near-dedup fan-out.
     per_shard = [
-        dedup_exact(
-            quality_gate(docs.filter(F.col("doc_id") % _N_SHARDS == i))
-        ).localCheckpoint()
+        dedup_exact(quality_gate(docs.filter(F.col("doc_id") % _N_SHARDS == i)))
         for i in range(_N_SHARDS)
     ]
-    merged = reduce(DataFrame.unionAll, per_shard)
+    # Round-11 (guide §2.6): ONE materialization of the unioned shard
+    # outputs instead of four sequential per-shard localCheckpoint
+    # jobs — the four shard subplans become parallel stages of a
+    # single job, so shard tails overlap instead of serializing on
+    # the driver. Each shard's ingest still runs independently before
+    # the union (the merge math is untouched); at 100 TB the shard
+    # outputs are separate materialized writes either way.
+    merged = reduce(DataFrame.unionAll, per_shard).localCheckpoint()
     global_clean = dedup_exact(merged).localCheckpoint()  # keep-min is associative
     return enrich(drop_near_duplicates(global_clean)).orderBy("doc_id")

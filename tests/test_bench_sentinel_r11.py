@@ -120,3 +120,36 @@ def test_bench_artifact_carries_sentinel(tmp_path):
     # the stdout line carries it too (driver-visible)
     stdout_line = json.loads(r.stdout.strip().splitlines()[-1])
     assert stdout_line["sentinel"] == s
+
+
+def test_slim_stdout_line_degrade_ladder():
+    """Round-11 measurement fix: the stdout line must keep the per-query
+    dict as long as possible — *_total fields (derivable from queries +
+    BENCH_MANIFEST) and sentinel verbosity are shed FIRST, the queries
+    dict only as a last resort."""
+    import json
+
+    from bench import slim_stdout_line
+
+    out = {
+        "metric": "headline_queries_total", "value": 1.0, "unit": "sec",
+        "sf": 0.1,
+        "sentinel": {"query": "q06_revenue_filter", "pre_sec": 0.11,
+                     "post_sec": 0.12, "drift_ratio": 1.09, "noisy": False},
+        "iterative_total": 1.0, "r6_total": 2.0,
+    }
+    timings = {f"q{i:03d}": 0.123 for i in range(60)}
+    head = list(timings)
+    # roomy budget: everything survives
+    full = json.loads(slim_stdout_line(out, timings, head, False, "/tmp/x", budget=5000))
+    assert len(full["queries"]) == 60 and "iterative_total" in full
+    # tight budget: totals shed, queries survive
+    line = slim_stdout_line(out, timings, head, False, "/tmp/x",
+                            budget=len(json.dumps(full)) - 10)
+    mid = json.loads(line)
+    assert len(line) <= len(json.dumps(full)) - 10
+    assert len(mid["queries"]) == 60
+    assert not any(k.endswith("_total") for k in mid)
+    # hopeless budget: queries dropped last, line still parses
+    tiny = json.loads(slim_stdout_line(out, timings, head, False, "/tmp/x", budget=300))
+    assert "queries" not in tiny and tiny["metric"] == "headline_queries_total"

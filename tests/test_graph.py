@@ -165,3 +165,45 @@ def test_cc_reliable_checkpoint_mode(spark, tmp_path, monkeypatch):
     monkeypatch.setenv("P6_SPARK_RELIABLE_CHECKPOINT", "1")
     got = {r["node"]: r["component"] for r in connected_components(df).collect()}
     assert got == want
+
+
+def _sync_min_label_rounds(edges, rounds):
+    """Reference synchronous min-label propagation: label state after
+    exactly `rounds` rounds from label(v)=v — the l{rounds} CTE of
+    plans/llm_ops._sql_bounded_cc, driver-side."""
+    sym = {}
+    for a, b in edges:
+        sym.setdefault(a, set()).add(b)
+        sym.setdefault(b, set()).add(a)
+    labels = {v: v for v in sym}
+    for _ in range(rounds):
+        labels = {
+            v: min([labels[v]] + [labels[u] for u in sym[v]]) for v in sym
+        }
+    return labels
+
+
+def test_cc_bounded_round_semantics(spark):
+    """Round-11 guard for the fused-init optimization: with a diameter
+    LARGER than max_iter, connected_components must still produce the
+    exact l{max_iter} synchronous state (the bound the DuckDB
+    bounded-CC oracles replay), not the true components."""
+    chain = [(i, i + 1) for i in range(12)]  # diameter 12
+    df = spark.createDataFrame(chain, "id_a long, id_b long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, max_iter=3).collect()
+    }
+    want = _sync_min_label_rounds(chain, 3)
+    assert got == want
+    # and the bound genuinely binds here: node 12 has not reached 0
+    assert got[12] != 0
+
+
+def test_cc_single_round_convergence(spark):
+    """The fused init (labels = l1 in one aggregate) must early-exit on
+    graphs that converge in one synchronous round."""
+    edges = [(5, 9), (1, 3), (1, 7)]  # stars: converge at l1
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == _union_find(edges)
