@@ -46,6 +46,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Broadcast/exchange crossover for the per-round label joins in the
+# iterative loops below, in NODES (two bigints + hash-relation overhead:
+# 1M nodes is a few tens of MB — comfortably inside executor broadcast,
+# far under the 8 GB / 512M-row relation cap). Same scalar-bound class
+# as plans/scalar_bounds.DECON_BROADCAST_MAX_BENCH_DOCS: the harness
+# duplicate-cluster graphs are thousands of nodes (broadcast path), a
+# 100 TB pair graph is corpus-sized (exchange path).
+_CC_BROADCAST_MAX_NODES = 1_000_000
+
+
 def _materialize(df: DataFrame) -> DataFrame:
     """Lineage cut for the iterative loops in this module:
     ``localCheckpoint`` by default (single-JVM / short jobs); with
@@ -81,6 +91,19 @@ def connected_components(
       round's projection and counts label != _old on the materialized
       blocks — a cheap scan instead of the old join of two checkpoints
       (one full shuffle join + exchange per round removed).
+    - Size-guarded broadcast rounds (guide §3.1 — pick the strategy
+      deliberately): localCheckpoint loses partitioning AND statistics
+      (LogicalRDD reports UnknownPartitioning and default sizeInBytes),
+      so every per-round join was a full-exchange SMJ regardless of
+      label-table size — ~3 exchanges per round of driver-latency-bound
+      fixed cost on duplicate-cluster graphs whose label table is tiny.
+      One cheap count of the materialized label blocks picks the plan:
+      at or below _CC_BROADCAST_MAX_NODES the round joins broadcast the
+      label/neighbor-min tables (1 exchange per round, the groupBy);
+      above it the exchange plans stay (a 100 TB pair graph has a
+      corpus-sized node table — broadcasting it would OOM the driver,
+      the dd_decontam_ngram13 crossover lesson). Identical arithmetic
+      and round structure on both paths.
     """
     sym = _materialize(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -93,14 +116,24 @@ def connected_components(
             F.least(F.col("u"), F.min("v")).alias("label")
         ).select(F.col("u").alias("node"), "label")
     )
+    # driver-side scalar bound over already-materialized blocks (the
+    # plans/scalar_bounds.py class): node count decides join strategy
+    small = labels.count() <= _CC_BROADCAST_MAX_NODES
     for _ in range(max_iter - 1):
         neighbor_min = (
-            sym.join(labels, sym.v == labels.node)
+            sym.join(
+                F.broadcast(labels) if small else labels,
+                sym.v == labels.node,
+            )
             .groupBy("u")
             .agg(F.min("label").alias("nmin"))
         )
         new_labels = _materialize(  # truncate lineage each round
-            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+            labels.join(
+                F.broadcast(neighbor_min) if small else neighbor_min,
+                labels.node == neighbor_min.u,
+                "left",
+            )
             .select(
                 "node",
                 F.col("label").alias("_old"),
