@@ -56,15 +56,24 @@ from pyspark.sql import functions as F
 _CC_BROADCAST_MAX_NODES = 1_000_000
 
 
-def _materialize(df: DataFrame) -> DataFrame:
+def _materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     """Lineage cut for the iterative loops in this module:
     ``localCheckpoint`` by default (single-JVM / short jobs); with
     ``P6_SPARK_RELIABLE_CHECKPOINT=1`` and a configured checkpoint dir,
     reliable ``checkpoint()`` instead — see the module docstring's
-    cluster-deployment note."""
+    cluster-deployment note.
+
+    ``eager=False`` marks the cut but defers materialization to the
+    caller's NEXT action over the frame (guide §1.2 — fewer jobs, same
+    work): the loops below always follow a lineage cut with a driver
+    scalar (convergence count, frontier count), so running that count
+    over the lazily-marked frame materializes the blocks and computes
+    the scalar in ONE job instead of a checkpoint job plus a count job.
+    Semantics are unchanged — the blocks the next round reads are the
+    same either way."""
     if os.environ.get("P6_SPARK_RELIABLE_CHECKPOINT") == "1":
-        return df.checkpoint()
-    return df.localCheckpoint()
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
 
 
 def connected_components(
@@ -108,16 +117,20 @@ def connected_components(
     sym = _materialize(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct()
+        .distinct(),
+        eager=False,
     )
     # fused round 1 (see docstring): every node appears as u in sym
     labels = _materialize(
         sym.groupBy("u").agg(
             F.least(F.col("u"), F.min("v")).alias("label")
-        ).select(F.col("u").alias("node"), "label")
+        ).select(F.col("u").alias("node"), "label"),
+        eager=False,
     )
-    # driver-side scalar bound over already-materialized blocks (the
-    # plans/scalar_bounds.py class): node count decides join strategy
+    # driver-side scalar bound (the plans/scalar_bounds.py class): node
+    # count decides join strategy — and, with the lazy cuts above, this
+    # ONE job also materializes the sym + labels blocks every later
+    # round reads (previously two checkpoint jobs plus this count)
     small = labels.count() <= _CC_BROADCAST_MAX_NODES
     for _ in range(max_iter - 1):
         neighbor_min = (
@@ -140,8 +153,10 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
-            )
+            ),
+            eager=False,
         )
+        # one job: materializes the round's blocks AND counts changes
         changed = new_labels.filter(F.col("label") != F.col("_old")).count()
         labels = new_labels.select("node", "label")
         if changed == 0:
@@ -190,27 +205,42 @@ def pagerank_fixed(
     # the degree/node derivations reuse it, instead of re-running the
     # upstream joins per round (the iterative-Spark lineage trap —
     # same localCheckpoint pattern as connected_components)
-    e = _materialize(edges.select(F.col("src"), F.col("dst")).distinct())
+    e = _materialize(
+        edges.select(F.col("src"), F.col("dst")).distinct(), eager=False
+    )
     nodes = _materialize(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
-        .distinct()
+        .distinct(),
+        eager=False,
     )
+    # one job: materializes e + nodes AND picks the round join strategy
+    # (rank/degree tables are node-sized — broadcast them when bounded
+    # so no damping round exchanges the edge list; see
+    # connected_components for the crossover rationale)
+    small = nodes.count() <= _CC_BROADCAST_MAX_NODES
     nn = nodes.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    deg = _materialize(
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")), eager=False
+    )
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "node", F.expr(f"{scale}L div n").alias("rank")
     )
     for _ in range(iters):
+        rsrc = ranks.select(F.col("node").alias("src"), "rank")
         contribs = (
-            e.join(deg, "src")
-            .join(ranks.select(F.col("node").alias("src"), "rank"), "src")
+            e.join(F.broadcast(deg) if small else deg, "src")
+            .join(F.broadcast(rsrc) if small else rsrc, "src")
             .groupBy("dst")
             .agg(F.sum(F.expr("rank div outdeg")).alias("s"))
         )
         ranks = (
             nodes.crossJoin(F.broadcast(nn))
-            .join(contribs, nodes.node == contribs.dst, "left")
+            .join(
+                F.broadcast(contribs) if small else contribs,
+                nodes.node == contribs.dst,
+                "left",
+            )
             .select(
                 "node",
                 (
@@ -220,8 +250,10 @@ def pagerank_fixed(
             )
         )
         # materialize each round once: without this, round k's lazy
-        # lineage re-executes every earlier round on each reference
-        ranks = _materialize(ranks)
+        # lineage re-executes every earlier round on each reference.
+        # Lazy cut: the next round's broadcast/collect (or the caller's
+        # action) materializes the blocks — no standalone job per round.
+        ranks = _materialize(ranks, eager=False)
     return ranks
 
 
@@ -254,31 +286,53 @@ def bfs_hops(
     symmetrized copy, the win that matters when the edge list is the
     biggest thing in the job.
     """
-    e = _materialize(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
+    e = _materialize(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b")), eager=False
+    )
     nodes = _materialize(
         e.select(F.col("a").alias("node"))
         .union(e.select(F.col("b").alias("node")))
-        .distinct()
+        .distinct(),
+        eager=False,
     )
+    # One job: materializes e + nodes blocks AND yields the scalar that
+    # picks the per-round join strategy (same size-guarded broadcast as
+    # connected_components: frontier/reached are node-bounded, so when
+    # the node table is small every round's probe of the big edge list
+    # is a broadcast hash join — no exchange of e per round; above the
+    # bound the exchange plans stay).
+    small = nodes.count() <= _CC_BROADCAST_MAX_NODES
     reached = _materialize(
-        nodes.filter(F.col("node") % seed_mod == 0).withColumn("hop", F.lit(0))
+        nodes.filter(F.col("node") % seed_mod == 0).withColumn("hop", F.lit(0)),
+        eager=False,
     )
     frontier = reached.select("node")
     for k in range(1, max_hops + 1):
-        fwd = e.join(frontier.withColumnRenamed("node", "a"), "a").select(
+        fa = frontier.withColumnRenamed("node", "a")
+        fb = frontier.withColumnRenamed("node", "b")
+        fwd = e.join(F.broadcast(fa) if small else fa, "a").select(
             F.col("b").alias("node")
         )
-        bwd = e.join(frontier.withColumnRenamed("node", "b"), "b").select(
+        bwd = e.join(F.broadcast(fb) if small else fb, "b").select(
             F.col("a").alias("node")
         )
+        seen = reached.select("node")
         discovered = _materialize(
             fwd.union(bwd)
             .distinct()
-            .join(reached.select("node"), "node", "left_anti")
-            .withColumn("hop", F.lit(k))
+            .join(F.broadcast(seen) if small else seen, "node", "left_anti")
+            .withColumn("hop", F.lit(k)),
+            eager=False,
         )
-        if discovered.isEmpty():
+        # one job: materializes the frontier blocks AND tests drain
+        # (count replaces isEmpty — the eager checkpoint computed every
+        # partition anyway, so this is strictly fewer jobs, not more
+        # work)
+        if discovered.count() == 0:
             break
-        reached = _materialize(reached.union(discovered))
+        reached = _materialize(reached.union(discovered), eager=False)
         frontier = discovered.select("node")
-    return nodes.join(reached, "node", "left").select("node", "hop")
+    final = reached.select("node", "hop")
+    return nodes.join(
+        F.broadcast(final) if small else final, "node", "left"
+    ).select("node", "hop")

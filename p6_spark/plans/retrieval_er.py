@@ -316,6 +316,14 @@ e{r} AS MATERIALIZED (
 )"""
 
 
+# Broadcast/exchange crossover for the per-round survivor semi joins in
+# q_graph_kcore, in EDGES of the capped LSH candidate graph (the node
+# set is at most 2x this; same crossover class as
+# operators/graph._CC_BROADCAST_MAX_NODES — harness graphs are
+# thousands of edges, a 100 TB candidate graph is corpus-sized).
+_KCORE_BROADCAST_MAX_EDGES = 500_000
+
+
 @register(
     "q_graph_kcore",
     oracle=(
@@ -386,8 +394,15 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         dd.lsh_candidate_pairs(dd.minhash_signatures(docs), max_bucket=20)
         .select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
+    # Size-guarded broadcast of the round's survivor set (the
+    # operators/graph.py crossover discipline): `keep` is node-sized, so
+    # when the edge list is bounded the two per-round semi joins become
+    # broadcast joins — no exchange of the checkpointed edge list per
+    # round (localCheckpoint loses stats, so SMJ was the default). The
+    # count doubles as the lazy checkpoint's materializing action.
+    small = edges.count() <= _KCORE_BROADCAST_MAX_EDGES
     stats = []
     cur = edges
     for r in (1, 2, 3):
@@ -398,9 +413,11 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("deg"))
         )
         keep = deg.filter(F.col("deg") >= 2).select("node")
+        ku = keep.withColumnRenamed("node", "u")
+        kv = keep.withColumnRenamed("node", "v")
         cur = (
-            cur.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
-            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            cur.join(F.broadcast(ku) if small else ku, "u", "left_semi")
+            .join(F.broadcast(kv) if small else kv, "v", "left_semi")
             .select("u", "v")
             .localCheckpoint()
         )

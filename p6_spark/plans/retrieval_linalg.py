@@ -238,9 +238,14 @@ def ml_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = spark.range(1, 65).select(
         F.col("id").alias("i"), F.lit(_PI_SCALE).cast("long").alias("v")
     )
+    # v is DIMENSION-bounded (64 rows, never corpus-sized), so
+    # broadcasting it in every multiply is unconditionally scale-safe:
+    # each mat-vec round becomes broadcast-hash-join + one groupBy
+    # exchange instead of exchanging the checkpointed gram both ways
+    # (localCheckpoint loses stats, so the SMJ plan was the default).
     for _ in range(_PI_ITERS):
         mv = (
-            gramf.join(v.select(F.col("i").alias("j"), "v"), "j")
+            gramf.join(F.broadcast(v.select(F.col("i").alias("j"), "v")), "j")
             .groupBy("i")
             .agg(F.expr("sum(cast(gram as decimal(38,0)) * v)").alias("mv"))
         )
@@ -249,7 +254,7 @@ def ml_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i", F.expr(f"cast((mv * {_PI_SCALE}) div mx as bigint)").alias("v")
         )
     mv_final = (
-        gramf.join(v.select(F.col("i").alias("j"), "v"), "j")
+        gramf.join(F.broadcast(v.select(F.col("i").alias("j"), "v")), "j")
         .groupBy("i")
         .agg(F.expr("sum(cast(gram as decimal(38,0)) * v)").alias("mv"))
     )
