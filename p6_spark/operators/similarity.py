@@ -232,6 +232,7 @@ def lsh_candidate_vec_pairs(
     num_tables: int = 4,
     max_planes: int = 48,
     max_bucket: int = 20,
+    pair_id_below: int | None = None,
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b, distinct) of embeddings that share
     an ADAPTIVE-width LSH bucket in any of ``num_tables`` OR-amplified
@@ -307,6 +308,16 @@ def lsh_candidate_vec_pairs(
         .filter(F.col("_bn") <= max_bucket)
         .drop("_bn")
     )
+    # ``pair_id_below`` pushes a caller's both-ids-in-panel restriction
+    # INTO the self-join (round 11, guide §2.2 — shuffle/join fewer
+    # rows): bucket sizes above are computed over the FULL corpus, so
+    # the cap semantics are untouched, and filtering each side to
+    # panel members afterwards yields exactly the pairs the caller
+    # would keep with a post-filter (id_a and id_b both < bound) —
+    # without self-joining the whole corpus first. At 100 TB this is a
+    # panel-sized pair join instead of a corpus-sized one.
+    if pair_id_below is not None:
+        bs = bs.filter(F.col("vid") < pair_id_below)
     return (
         bs.alias("a")
         .join(

@@ -179,9 +179,13 @@ def dd_blocking_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("id_a", "id_b")
     )
-    cp = sim.lsh_candidate_vec_pairs(emb).filter(
-        (F.col("id_a") < _AUDIT_PANEL) & (F.col("id_b") < _AUDIT_PANEL)
-    )
+    # Panel restriction pushed INTO the candidate self-join
+    # (pair_id_below): bucket sizes/caps still computed over the full
+    # corpus, each join side then filtered to panel members — exactly
+    # the pairs the old post-filter kept (both ids < _AUDIT_PANEL),
+    # but the pair join and distinct run on panel-sized input instead
+    # of corpus-sized (guide §2.2). Oracle unchanged.
+    cp = sim.lsh_candidate_vec_pairs(emb, pair_id_below=_AUDIT_PANEL)
     # Round-11 A/B note: two restructures were tried here and BOTH
     # measured slower (sf0.1 min-of-3): (a) a tagged full-outer join
     # producing all three counts in one aggregate (1.33x), (b)

@@ -191,51 +191,74 @@ SELECT '{name}' AS pair,
     tags=("sketch", "join", "optimizer", "fixed-point"),
 )
 def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
     from p6_spark.operators.text import md5_int
 
+    # Round-11 restructure (guide §2.1/§2.4 — same results, leaner
+    # plan): the old shape ran a GLOBAL row_number window over the
+    # unioned hash set (a single-partition stage over every distinct
+    # key hash — the exact scale-killer class the r4 ntile fix
+    # removed), plus two extra distinct scans and two semi joins to
+    # test topk membership per side, plus a separate semi join and
+    # union-distinct for the true counts. Provenance flags do all of
+    # it in two aggregates: tag each side's keys (in_a, in_b), one
+    # groupBy(k) merges the sides (true counts fall out of ONE 1-row
+    # aggregate), one groupBy(h) over the same frame merges hash
+    # membership, and the k=64 smallest hashes come from
+    # orderBy().limit() — TakeOrdered, distributed partial top-k, no
+    # single-partition window. Estimator arithmetic is unchanged and
+    # the DuckDB oracle is untouched.
     out = None
     pairs = [
         ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
         ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
     ]
     for name, ta, ka, tb, kb in pairs:
-        a = _t(spark, sf_dir, ta).select(F.col(ka).alias("k")).distinct()
-        b = _t(spark, sf_dir, tb).select(F.col(kb).alias("k")).distinct()
-        ah = a.select("k", md5_int(F.col("k").cast("string")).alias("h"))
-        bh = b.select("k", md5_int(F.col("k").cast("string")).alias("h"))
-        uh = ah.select("h").union(bh.select("h")).distinct()
-        topk = (
-            uh.withColumn("rn", F.row_number().over(W.orderBy("h")))
-            .filter(F.col("rn") <= _KMV_K)
-            .localCheckpoint()  # tiny; reused by 2 aggregates below
-        )
-        union_est = topk.agg(
-            F.expr(
-                f"case when count(*) < {_KMV_K} then count(*)"
-                f" else ({_KMV_K - 1} * 4294967296) div max(h) end"
-            ).alias("union_est")
-        )
-        in_both = (
-            topk.join(ah.select("h").distinct(), "h", "left_semi")
-            .join(bh.select("h").distinct(), "h", "left_semi")
-            .agg(
-                F.expr(f"cast(count(*) * 1000000 div {_KMV_K} as bigint)").alias(
-                    "jaccard_est_x1e6"
+        tagged = (
+            _t(spark, sf_dir, ta)
+            .select(
+                F.col(ka).alias("k"),
+                F.lit(1).alias("in_a"),
+                F.lit(0).alias("in_b"),
+            )
+            .unionAll(
+                _t(spark, sf_dir, tb).select(
+                    F.col(kb).alias("k"),
+                    F.lit(0).alias("in_a"),
+                    F.lit(1).alias("in_b"),
                 )
             )
         )
-        true_inter = a.join(b, "k", "left_semi").agg(
-            F.count(F.lit(1)).alias("true_inter")
+        keys = tagged.groupBy("k").agg(
+            F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
         )
-        true_union = (
-            a.union(b).distinct().agg(F.count(F.lit(1)).alias("true_union"))
+        # one pass over the merged key set: exact union + intersection
+        truth = keys.agg(
+            F.count(F.lit(1)).alias("true_union"),
+            F.count_if((F.col("in_a") == 1) & (F.col("in_b") == 1)).alias(
+                "true_inter"
+            ),
+        )
+        # hash-space merge (32-bit md5 prefixes can collide across
+        # keys, so membership flags re-aggregate per h — identical to
+        # the oracle's DISTINCT-hash union + per-side IN tests)
+        hashes = keys.select(
+            md5_int(F.col("k").cast("string")).alias("h"), "in_a", "in_b"
+        ).groupBy("h").agg(
+            F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+        )
+        topk = hashes.orderBy("h").limit(_KMV_K)
+        sketch = topk.agg(
+            F.expr(
+                f"case when count(*) < {_KMV_K} then count(*)"
+                f" else ({_KMV_K - 1} * 4294967296) div max(h) end"
+            ).alias("union_est"),
+            F.expr(
+                f"cast(count_if(in_a = 1 and in_b = 1) * 1000000"
+                f" div {_KMV_K} as bigint)"
+            ).alias("jaccard_est_x1e6"),
         )
         row = (
-            union_est.crossJoin(F.broadcast(in_both))  # 1-row scalar attaches
-            .crossJoin(F.broadcast(true_inter))
-            .crossJoin(F.broadcast(true_union))
+            sketch.crossJoin(F.broadcast(truth))  # 1-row scalar attaches
             .select(
                 F.lit(name).alias("pair"),
                 "union_est",
