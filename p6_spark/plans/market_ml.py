@@ -64,11 +64,28 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     n_orders = items.agg(F.countDistinct("ok").alias("n"))
     item_n = items.groupBy("pk").agg(F.count(F.lit(1)).alias("n_item"))
-    a = items.alias("a")
-    b = items.alias("b")
+    # Round-11 restructure (guide §2.4 — remove the join outright): the
+    # basket self-join is replaced by sorted-adjacency pair explosion,
+    # the q_graph_link_predict shape. One groupBy(ok) builds each
+    # basket's distinct sorted item array, then posexplode + slice
+    # emits each a < b pair once — each intermediate row carries an
+    # O(basket) array, never an O(basket^2) cell, matching the old
+    # sort-merge join's per-key buffer bound, and the corpus is
+    # shuffled once by basket key instead of twice for the join sides.
+    # Same-session alternating A/B (benchdata/r11_market_basket_ab.json,
+    # identical 20 rows asserted): min 2.37 s vs 3.01 s for the join
+    # (0.79x; per-round results are noisy on this box, the minima and
+    # the shuffle count favor this form).
+    baskets = items.groupBy("ok").agg(
+        F.array_sort(F.collect_list("pk")).alias("ps")
+    )
     pairs = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .groupBy(F.col("a.pk").alias("item_a"), F.col("b.pk").alias("item_b"))
+        baskets.select(F.posexplode("ps").alias("i", "item_a"), "ps")
+        .select(
+            "item_a",
+            F.explode(F.expr("slice(ps, i + 2, size(ps))")).alias("item_b"),
+        )
+        .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_pair"))
     )
     ia = item_n.select(F.col("pk").alias("item_a"), F.col("n_item").alias("n_a"))

@@ -533,33 +533,49 @@ LIMIT 20
     tags=("graph", "similarity", "fixed-point"),
 )
 def q_graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
     li = _t(spark, sf_dir, "lineitem")
     edges = li.select(
         F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
     ).distinct()
-    deg = (
-        edges.groupBy("p")
-        .agg(F.count(F.lit(1)).alias("d"))
+    # Round-11 restructure (guide §2.4 — remove the join outright): the
+    # wedge self-join is replaced by sorted-adjacency pair explosion.
+    # The r7 A/B (benchdata/r07_link_predict_ab.json) only compared
+    # checkpointed vs lazy forms of the SAME wedge join; this removes
+    # the join itself. The degree cap still bites BEFORE any supplier
+    # set is materialized: a part-partitioned window count (the
+    # dd_substring_spans pattern — WindowExec buffers one part's edges
+    # and spills gracefully, never builds an unbounded hash-agg array
+    # for a hot part) filters to d in [2, 50], and only then does
+    # collect_list build the <= 50-element adjacency. The groupBy(p)
+    # reuses the window's hash(p) exchange, so the adjacency costs no
+    # extra shuffle. Pairs come from posexplode + slice (each
+    # intermediate row carries an O(d) array, never an O(d^2) cell),
+    # oriented s1 < s2 by the ascending array_sort — exactly the
+    # wedge join's s2 > s orientation. Same (count, sum(1000000 div d))
+    # arithmetic; oracle untouched. Same-session alternating A/B
+    # (benchdata/r11_link_predict_ab.json, identical 20 rows asserted):
+    # min 2.70 s vs 5.52 s for the wedge join (0.49x).
+    capped = (
+        edges.withColumn("d", F.count(F.lit(1)).over(W.partitionBy("p")))
         .filter((F.col("d") >= 2) & (F.col("d") <= 50))
     )
-    # r7 audit of the r6 verdict's "attack the heaviest engine cost"
-    # item: a localCheckpoint'ed degree-filtered edge payload feeding
-    # both wedge sides measured 35.8s vs 36.0s for this lazy plan at
-    # sf1.0 local[8] (benchdata/r07_link_predict_ab.json) — Spark's
-    # ReusedExchange already dedups the (s,p)-distinct subtree across
-    # the deg aggregate and both join sides, so the wedge join + the
-    # ~90M-row (s1,s2) aggregate IS the genuine cost (the deg<=50 cap
-    # bounds it linearly in parts). Retained lazy, per the r6
-    # measured-slower precedent.
-    a = edges.join(deg, "p")
-    b = edges.select(F.col("p").alias("pb"), F.col("s").alias("s2"))
-    scored = (
-        a.join(b, (F.col("pb") == F.col("p")) & (F.col("s2") > F.col("s")))
-        .groupBy(F.col("s").alias("s1"), "s2")
-        .agg(
-            F.count(F.lit(1)).alias("common_parts"),
-            F.sum(F.expr("1000000 div d")).alias("ra_x1e6"),
-        )
+    adj = (
+        capped.groupBy("p")
+        .agg(F.array_sort(F.collect_list("s")).alias("ss"))
+        .select("ss", F.size("ss").alias("d"))
+    )
+    pairs = adj.select(
+        F.posexplode("ss").alias("i", "s1"), "ss", "d"
+    ).select(
+        "s1",
+        F.explode(F.expr("slice(ss, i + 2, size(ss))")).alias("s2"),
+        "d",
+    )
+    scored = pairs.groupBy("s1", "s2").agg(
+        F.count(F.lit(1)).alias("common_parts"),
+        F.sum(F.expr("1000000 div d")).alias("ra_x1e6"),
     )
     return scored.orderBy(
         F.desc("common_parts"), F.desc("ra_x1e6"), "s1", "s2"
