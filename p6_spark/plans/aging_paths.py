@@ -240,6 +240,8 @@ GROUP BY b.cost ORDER BY cost
 def q_graph_cheapest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     from p6_spark.operators import dedup as dd
 
+    from p6_spark.operators.graph import _CC_BROADCAST_MAX_NODES
+
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     sigs = dd.minhash_signatures(docs).localCheckpoint()
     pairs = dd.lsh_candidate_pairs(sigs)
@@ -261,20 +263,28 @@ def q_graph_cheapest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         wpairs.select("u", "v", "w")
         .unionAll(wpairs.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
-        .localCheckpoint()
+        # lazy cut (graph.py _materialize discipline): the node count
+        # below materializes these blocks in the same job
+        .localCheckpoint(eager=False)
     )
     nodes = edges.select(F.col("u").alias("node")).distinct()
+    # one job: materializes sigs+edges blocks AND picks the per-round
+    # join strategy (dist is node-bounded — broadcast it when small so
+    # no relax round exchanges the edge list; the connected_components
+    # size-guard rationale)
+    small = nodes.count() <= _CC_BROADCAST_MAX_NODES
     dist = nodes.filter(F.col("node") % 10 == 0).select(
         "node", F.lit(0).cast("long").alias("cost")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for _ in range(_BF_HOPS):
+        du = dist.select(F.col("node").alias("u"), "cost")
         relaxed = (
-            edges.join(dist.select(F.col("node").alias("u"), "cost"), "u")
+            edges.join(F.broadcast(du) if small else du, "u")
             .select(F.col("v").alias("node"), (F.col("cost") + F.col("w")).alias("cost"))
             .unionAll(dist)
             .groupBy("node")
             .agg(F.min("cost").alias("cost"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         dist = relaxed
     return (

@@ -708,19 +708,16 @@ def pipe_post_dedup_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         # feeds both min-total aggregates and the final projection
         .localCheckpoint()
     )
-    tb = j.agg(
+    totals = j.agg(
         F.min(
             F.expr("(cast(avail_before as decimal(38,0)) * 1000000) div w_x1e6")
-        ).alias("total_before")
-    )
-    ta = j.agg(
+        ).alias("total_before"),
         F.min(
             F.expr("(cast(avail_after as decimal(38,0)) * 1000000) div w_x1e6")
-        ).alias("total_after")
+        ).alias("total_after"),
     )
     return (
-        j.crossJoin(F.broadcast(tb))
-        .crossJoin(F.broadcast(ta))
+        j.crossJoin(F.broadcast(totals))
         .select(
             "lang", "w_x1e6", "avail_before", "avail_after",
             "total_before", "total_after",

@@ -131,12 +131,12 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_c_x1e6"),
         )
     )
-    n_comms = per.agg(F.count(F.lit(1)).alias("n_communities"))
     return (
-        n_comms.crossJoin(F.broadcast(m))
-        .crossJoin(
-            F.broadcast(per.agg(F.sum("q_c_x1e6").alias("modularity_x1e6")))
+        per.agg(
+            F.count(F.lit(1)).alias("n_communities"),
+            F.sum("q_c_x1e6").alias("modularity_x1e6"),
         )
+        .crossJoin(F.broadcast(m))
         .select("n_communities", "m_edges", "modularity_x1e6")
     )
 
