@@ -18,6 +18,24 @@ tiny and dense, so 3-5 rounds in practice. localCheckpoint every round
 truncates the lineage so the plan doesn't grow exponentially (the
 classic iterative-Spark trap).
 
+Lineage-cut discipline (round 12, after the round-11 32-core
+regression): a ``localCheckpoint(eager=False)`` lazy cut is allowed
+ONLY when the very next driver action is a scalar (count) whose plan
+references the cut frame exactly once — that one job materializes the
+blocks and computes the scalar, and nothing else can race it. Every
+other cut is EAGER. Round 11 deferred round cuts to whatever action
+came next (often a broadcast build on the driver's broadcast thread, or
+a plan that referenced the cut twice, e.g. a union of two selects over
+it); at local[32] concurrent tasks then recomputed the un-persisted
+subtree while racing the block store, which the driver measured as
+q_graph_pagerank 2.6 -> 14.8 s plus a ten-query contamination window
+(VERDICT r11). The per-round ``F.broadcast`` hints from round 11 are
+gone for the same reason: they were size-guarded to <= 1M nodes, so
+they could never engage at the 100 TB regime — all they did was couple
+every round to driver-side broadcast builds at local[32]. The round
+joins plan as plain exchange joins again (the round-10 shape the driver
+measured fast at 32 cores).
+
 Cluster-deployment note (applies to every iterative operator in this
 module — CC, k-core, BFS, pagerank, cheapest-path): ``localCheckpoint``
 pins the cut lineage to executor-local block storage, which is the
@@ -46,16 +64,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-# Broadcast/exchange crossover for the per-round label joins in the
-# iterative loops below, in NODES (two bigints + hash-relation overhead:
-# 1M nodes is a few tens of MB — comfortably inside executor broadcast,
-# far under the 8 GB / 512M-row relation cap). Same scalar-bound class
-# as plans/scalar_bounds.DECON_BROADCAST_MAX_BENCH_DOCS: the harness
-# duplicate-cluster graphs are thousands of nodes (broadcast path), a
-# 100 TB pair graph is corpus-sized (exchange path).
-_CC_BROADCAST_MAX_NODES = 1_000_000
-
-
 def _materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     """Lineage cut for the iterative loops in this module:
     ``localCheckpoint`` by default (single-JVM / short jobs); with
@@ -63,14 +71,13 @@ def _materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     reliable ``checkpoint()`` instead — see the module docstring's
     cluster-deployment note.
 
-    ``eager=False`` marks the cut but defers materialization to the
-    caller's NEXT action over the frame (guide §1.2 — fewer jobs, same
-    work): the loops below always follow a lineage cut with a driver
-    scalar (convergence count, frontier count), so running that count
-    over the lazily-marked frame materializes the blocks and computes
-    the scalar in ONE job instead of a checkpoint job plus a count job.
-    Semantics are unchanged — the blocks the next round reads are the
-    same either way."""
+    ``eager=False`` is reserved for the single safe shape (module
+    docstring): the caller's NEXT statement is a driver-side count
+    whose plan references this frame exactly once, so that one job
+    materializes the blocks and computes the scalar. Any frame that is
+    read more than once before a materializing action, or whose first
+    materialization would ride on a broadcast build, must stay eager.
+    """
     if os.environ.get("P6_SPARK_RELIABLE_CHECKPOINT") == "1":
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
@@ -87,8 +94,8 @@ def connected_components(
 
     Semantics are the SAME bounded synchronous min-label fixpoint the
     DuckDB twins replay (_sql_bounded_cc: l0..l{max_iter}): after k
-    rounds label(v) = min{u : dist(u, v) <= k}. Round-11 optimization
-    (guide §2.4 — remove shuffles/jobs, identical results):
+    rounds label(v) = min{u : dist(u, v) <= k}. Kept from round 11
+    (guide §2.4 — fewer shuffles/jobs, identical results):
 
     - The init round is FUSED: l1 = min(u, min over neighbors v) is one
       groupBy over the symmetric edge list, replacing the distinct-node
@@ -100,19 +107,13 @@ def connected_components(
       round's projection and counts label != _old on the materialized
       blocks — a cheap scan instead of the old join of two checkpoints
       (one full shuffle join + exchange per round removed).
-    - Size-guarded broadcast rounds (guide §3.1 — pick the strategy
-      deliberately): localCheckpoint loses partitioning AND statistics
-      (LogicalRDD reports UnknownPartitioning and default sizeInBytes),
-      so every per-round join was a full-exchange SMJ regardless of
-      label-table size — ~3 exchanges per round of driver-latency-bound
-      fixed cost on duplicate-cluster graphs whose label table is tiny.
-      One cheap count of the materialized label blocks picks the plan:
-      at or below _CC_BROADCAST_MAX_NODES the round joins broadcast the
-      label/neighbor-min tables (1 exchange per round, the groupBy);
-      above it the exchange plans stay (a 100 TB pair graph has a
-      corpus-sized node table — broadcasting it would OOM the driver,
-      the dd_decontam_ngram13 crossover lesson). Identical arithmetic
-      and round structure on both paths.
+    - Each round's cut is lazy and materialized by the changed-count
+      that immediately follows (one job per round, the safe lazy shape
+      per the module docstring).
+
+    Dropped from round 11: the per-round size-guarded broadcasts — see
+    the module docstring (driver-measured 32-core regression; the guard
+    meant they never engaged at 100 TB anyway).
     """
     sym = _materialize(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -127,26 +128,20 @@ def connected_components(
         ).select(F.col("u").alias("node"), "label"),
         eager=False,
     )
-    # driver-side scalar bound (the plans/scalar_bounds.py class): node
-    # count decides join strategy — and, with the lazy cuts above, this
-    # ONE job also materializes the sym + labels blocks every later
-    # round reads (previously two checkpoint jobs plus this count)
-    small = labels.count() <= _CC_BROADCAST_MAX_NODES
+    # Materializing scalar for the two lazy cuts above: this one job
+    # scans sym exactly once (labels' groupBy) and labels exactly once
+    # (the count), landing both block sets before any round reads them.
+    # The scalar itself is discarded — it exists to fuse what would be
+    # two standalone checkpoint jobs into one (guide §1.2).
+    labels.count()
     for _ in range(max_iter - 1):
         neighbor_min = (
-            sym.join(
-                F.broadcast(labels) if small else labels,
-                sym.v == labels.node,
-            )
+            sym.join(labels, sym.v == labels.node)
             .groupBy("u")
             .agg(F.min("label").alias("nmin"))
         )
         new_labels = _materialize(  # truncate lineage each round
-            labels.join(
-                F.broadcast(neighbor_min) if small else neighbor_min,
-                labels.node == neighbor_min.u,
-                "left",
-            )
+            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
             .select(
                 "node",
                 F.col("label").alias("_old"),
@@ -200,47 +195,42 @@ def pagerank_fixed(
     by dst (the canonical distributed PageRank); the rank and out-degree
     tables are node-sized and join back onto the edge list. N arrives as
     a broadcast 1-row scalar, never a driver literal.
+
+    All cuts here are EAGER (module docstring): `nodes` reads `e` twice
+    (the src/dst union) and every damping round reads `nodes` plus the
+    previous round's `ranks`, so no frame qualifies for the lazy-cut
+    shape. The round-11 lazy cuts deferred each round's materialization
+    to the NEXT round's broadcast build, which is the scheme the driver
+    measured at 14.8 s / 32 cores (2.6 s in this shape).
     """
     # materialize the (deduped) edge list once: every damping round and
     # the degree/node derivations reuse it, instead of re-running the
     # upstream joins per round (the iterative-Spark lineage trap —
     # same localCheckpoint pattern as connected_components)
-    e = _materialize(
-        edges.select(F.col("src"), F.col("dst")).distinct(), eager=False
-    )
+    e = _materialize(edges.select(F.col("src"), F.col("dst")).distinct())
     nodes = _materialize(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
-        .distinct(),
-        eager=False,
+        .distinct()
     )
-    # one job: materializes e + nodes AND picks the round join strategy
-    # (rank/degree tables are node-sized — broadcast them when bounded
-    # so no damping round exchanges the edge list; see
-    # connected_components for the crossover rationale)
-    small = nodes.count() <= _CC_BROADCAST_MAX_NODES
     nn = nodes.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    deg = _materialize(
-        e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")), eager=False
-    )
+    # out-degree table cut once and reused by every damping round
+    # (round 11's one keeper here: previously each round re-aggregated
+    # it from e's blocks — one extra exchange per round)
+    deg = _materialize(e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")))
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "node", F.expr(f"{scale}L div n").alias("rank")
     )
     for _ in range(iters):
-        rsrc = ranks.select(F.col("node").alias("src"), "rank")
         contribs = (
-            e.join(F.broadcast(deg) if small else deg, "src")
-            .join(F.broadcast(rsrc) if small else rsrc, "src")
+            e.join(deg, "src")
+            .join(ranks.select(F.col("node").alias("src"), "rank"), "src")
             .groupBy("dst")
             .agg(F.sum(F.expr("rank div outdeg")).alias("s"))
         )
         ranks = (
             nodes.crossJoin(F.broadcast(nn))
-            .join(
-                F.broadcast(contribs) if small else contribs,
-                nodes.node == contribs.dst,
-                "left",
-            )
+            .join(contribs, nodes.node == contribs.dst, "left")
             .select(
                 "node",
                 (
@@ -250,10 +240,8 @@ def pagerank_fixed(
             )
         )
         # materialize each round once: without this, round k's lazy
-        # lineage re-executes every earlier round on each reference.
-        # Lazy cut: the next round's broadcast/collect (or the caller's
-        # action) materializes the blocks — no standalone job per round.
-        ranks = _materialize(ranks, eager=False)
+        # lineage re-executes every earlier round on each reference
+        ranks = _materialize(ranks)
     return ranks
 
 
@@ -285,54 +273,43 @@ def bfs_hops(
     round probes it from both ends — half the bytes of materializing a
     symmetrized copy, the win that matters when the edge list is the
     biggest thing in the job.
+
+    Cuts: `e`, `nodes`, `reached` are EAGER (each is read twice by the
+    plan that follows — both probe directions, the seed filter plus the
+    final left join, the anti-join plus the union). `discovered` is the
+    one safe lazy cut: the drain-check count that immediately follows
+    references it exactly once and lands its blocks (count also replaces
+    the old isEmpty — the eager checkpoint computed every partition
+    anyway, so this is strictly fewer jobs, not more work).
     """
-    e = _materialize(
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b")), eager=False
-    )
+    e = _materialize(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
     nodes = _materialize(
         e.select(F.col("a").alias("node"))
         .union(e.select(F.col("b").alias("node")))
-        .distinct(),
-        eager=False,
+        .distinct()
     )
-    # One job: materializes e + nodes blocks AND yields the scalar that
-    # picks the per-round join strategy (same size-guarded broadcast as
-    # connected_components: frontier/reached are node-bounded, so when
-    # the node table is small every round's probe of the big edge list
-    # is a broadcast hash join — no exchange of e per round; above the
-    # bound the exchange plans stay).
-    small = nodes.count() <= _CC_BROADCAST_MAX_NODES
     reached = _materialize(
-        nodes.filter(F.col("node") % seed_mod == 0).withColumn("hop", F.lit(0)),
-        eager=False,
+        nodes.filter(F.col("node") % seed_mod == 0).withColumn("hop", F.lit(0))
     )
     frontier = reached.select("node")
     for k in range(1, max_hops + 1):
-        fa = frontier.withColumnRenamed("node", "a")
-        fb = frontier.withColumnRenamed("node", "b")
-        fwd = e.join(F.broadcast(fa) if small else fa, "a").select(
+        fwd = e.join(frontier.withColumnRenamed("node", "a"), "a").select(
             F.col("b").alias("node")
         )
-        bwd = e.join(F.broadcast(fb) if small else fb, "b").select(
+        bwd = e.join(frontier.withColumnRenamed("node", "b"), "b").select(
             F.col("a").alias("node")
         )
-        seen = reached.select("node")
         discovered = _materialize(
             fwd.union(bwd)
             .distinct()
-            .join(F.broadcast(seen) if small else seen, "node", "left_anti")
+            .join(reached.select("node"), "node", "left_anti")
             .withColumn("hop", F.lit(k)),
             eager=False,
         )
         # one job: materializes the frontier blocks AND tests drain
-        # (count replaces isEmpty — the eager checkpoint computed every
-        # partition anyway, so this is strictly fewer jobs, not more
-        # work)
         if discovered.count() == 0:
             break
-        reached = _materialize(reached.union(discovered), eager=False)
+        reached = _materialize(reached.union(discovered))
         frontier = discovered.select("node")
     final = reached.select("node", "hop")
-    return nodes.join(
-        F.broadcast(final) if small else final, "node", "left"
-    ).select("node", "hop")
+    return nodes.join(final, "node", "left").select("node", "hop")

@@ -240,8 +240,6 @@ GROUP BY b.cost ORDER BY cost
 def q_graph_cheapest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     from p6_spark.operators import dedup as dd
 
-    from p6_spark.operators.graph import _CC_BROADCAST_MAX_NODES
-
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     sigs = dd.minhash_signatures(docs).localCheckpoint()
     pairs = dd.lsh_candidate_pairs(sigs)
@@ -260,31 +258,31 @@ def q_graph_cheapest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "v")
         .select("u", "v", wexpr.cast("long").alias("w"))
     )
+    # Eager cuts throughout (operators/graph.py round-12 discipline):
+    # every relax round reads `dist` TWICE (the join probe and the
+    # unionAll), so the round-11 lazy cuts + size-guarded broadcasts
+    # left a multiply-referenced un-persisted frame racing the block
+    # store — the exact scheme behind the driver's 32-core regression
+    # (and what ADVICE r11 flagged here). Blocks land before any round
+    # reads them; the per-round joins plan as plain exchange joins.
     edges = (
         wpairs.select("u", "v", "w")
         .unionAll(wpairs.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
-        # lazy cut (graph.py _materialize discipline): the node count
-        # below materializes these blocks in the same job
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     nodes = edges.select(F.col("u").alias("node")).distinct()
-    # one job: materializes sigs+edges blocks AND picks the per-round
-    # join strategy (dist is node-bounded — broadcast it when small so
-    # no relax round exchanges the edge list; the connected_components
-    # size-guard rationale)
-    small = nodes.count() <= _CC_BROADCAST_MAX_NODES
     dist = nodes.filter(F.col("node") % 10 == 0).select(
         "node", F.lit(0).cast("long").alias("cost")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
     for _ in range(_BF_HOPS):
         du = dist.select(F.col("node").alias("u"), "cost")
         relaxed = (
-            edges.join(F.broadcast(du) if small else du, "u")
+            edges.join(du, "u")
             .select(F.col("v").alias("node"), (F.col("cost") + F.col("w")).alias("cost"))
             .unionAll(dist)
             .groupBy("node")
             .agg(F.min("cost").alias("cost"))
-            .localCheckpoint(eager=False)
+            .localCheckpoint()
         )
         dist = relaxed
     return (

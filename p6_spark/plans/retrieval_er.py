@@ -316,14 +316,6 @@ e{r} AS MATERIALIZED (
 )"""
 
 
-# Broadcast/exchange crossover for the per-round survivor semi joins in
-# q_graph_kcore, in EDGES of the capped LSH candidate graph (the node
-# set is at most 2x this; same crossover class as
-# operators/graph._CC_BROADCAST_MAX_NODES — harness graphs are
-# thousands of edges, a 100 TB candidate graph is corpus-sized).
-_KCORE_BROADCAST_MAX_EDGES = 500_000
-
-
 @register(
     "q_graph_kcore",
     oracle=(
@@ -391,18 +383,17 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the stats union re-references all of them, so without lineage
     # truncation the LSH self-join chain re-executes combinatorially
     # (~44s at sf0.1 in the round-4 iterative bench; seconds after).
+    # Eager cut (operators/graph.py round-12 discipline): every round
+    # reads the previous edge set three times (degree agg + two semi
+    # joins), so the round-11 lazy cut + size-guarded broadcasts left a
+    # multiply-referenced un-persisted frame — the scheme behind the
+    # driver's 32-core regression. Blocks land before round 1 reads
+    # them; the semi joins plan as plain exchange joins again.
     edges = (
         dd.lsh_candidate_pairs(dd.minhash_signatures(docs), max_bucket=20)
         .select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
-    # Size-guarded broadcast of the round's survivor set (the
-    # operators/graph.py crossover discipline): `keep` is node-sized, so
-    # when the edge list is bounded the two per-round semi joins become
-    # broadcast joins — no exchange of the checkpointed edge list per
-    # round (localCheckpoint loses stats, so SMJ was the default). The
-    # count doubles as the lazy checkpoint's materializing action.
-    small = edges.count() <= _KCORE_BROADCAST_MAX_EDGES
     stats = []
     cur = edges
     for r in (1, 2, 3):
@@ -413,11 +404,9 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("deg"))
         )
         keep = deg.filter(F.col("deg") >= 2).select("node")
-        ku = keep.withColumnRenamed("node", "u")
-        kv = keep.withColumnRenamed("node", "v")
         cur = (
-            cur.join(F.broadcast(ku) if small else ku, "u", "left_semi")
-            .join(F.broadcast(kv) if small else kv, "v", "left_semi")
+            cur.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
             .select("u", "v")
             .localCheckpoint()
         )
