@@ -157,17 +157,24 @@ def txt_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting = docs.select(
         F.explode(tokens(F.col("text"))).alias("token"), "doc_id"
     )
+    # df = size of the SAME distinct-doc set the head-postings column
+    # already collects — spelling it countDistinct alongside collect_set
+    # made Spark plan the distinct aggregate via Expand (every posting
+    # row duplicated into a distinct-branch and a plain branch: 2x the
+    # shuffle rows of the biggest stage). One collected set, df/head
+    # both derived from it (round 12, guide §2.3 — shuffle fewer bytes).
     idx = posting.groupBy("token").agg(
-        F.countDistinct("doc_id").alias("df"),
         F.count(F.lit(1)).alias("cf"),
+        F.array_sort(F.collect_set("doc_id")).alias("_docs"),
+    ).select(
+        "token",
+        F.size("_docs").cast("long").alias("df"),
+        "cf",
         F.array_join(
-            F.transform(
-                F.slice(F.array_sort(F.collect_set("doc_id")), 1, 10),
-                lambda x: x.cast("string"),
-            ),
+            F.transform(F.slice("_docs", 1, 10), lambda x: x.cast("string")),
             ",",
         ).alias("head_postings"),
-    )
+    ).select("token", "df", "cf", "head_postings")
     return idx.orderBy(F.desc("df"), "token").limit(20)
 
 
