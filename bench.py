@@ -247,22 +247,43 @@ def main() -> None:
         except Exception:
             pass
 
-    # Post-warmup quiesce: a full-registry warmup (~320 queries) leaves
-    # the JVM with seconds of trailing GC/JIT/compilation churn that
-    # inflates the sentinel pre AND the first timed queries (r11 --all
-    # attempt 1: pre 0.44 s vs post 0.24 s, txt_train_order 21x its r10
-    # time — early-run noise the sentinel correctly flagged). Drain it
-    # before any timed measurement so the sentinel reads box load, not
-    # our own warmup wake.
+    # Post-warmup quiesce: a full warmup pass (~112 headline+section
+    # queries, ~320 with --all) leaves the JVM with trailing GC / JIT /
+    # async block-cleanup churn that inflates the first timed queries
+    # (r11 --all attempt 1: pre 0.44 s vs post 0.24 s; an r12 run with
+    # the fixed 10 s sleep still started with a 1.05 s sentinel vs
+    # 0.15 s steady-state and 3-10x inflated early queries). Round 12:
+    # drain ADAPTIVELY — gc, then re-time the sentinel until two
+    # consecutive samples agree within the noise threshold (or a hard
+    # 90 s cap), so the timed pass starts from steady state regardless
+    # of how much churn the warmup left. Timed methodology per query is
+    # unchanged; this only moves the start line to a quiet JVM.
     spark._jvm.System.gc()
     time.sleep(10)
+    if _SENTINEL_QUERY in qs:
+        t_cap = time.monotonic() + 90
+        prev = measure_sentinel(spark, qs, sf_dir, args.runs)
+        while time.monotonic() < t_cap:
+            spark._jvm.System.gc()
+            time.sleep(5)
+            cur = measure_sentinel(spark, qs, sf_dir, args.runs)
+            if max(prev, cur) / max(min(prev, cur), 1e-9) <= _SENTINEL_THRESHOLD:
+                break
+            prev = cur
 
-    # Sentinel pre-measurement (load canary — see measure_sentinel)
-    sentinel_pre = (
-        measure_sentinel(spark, qs, sf_dir, args.runs)
-        if _SENTINEL_QUERY in qs
-        else None
-    )
+    # Sentinel pre-measurement (load canary — see measure_sentinel).
+    # Round 12 (VERDICT r11 item 2): the pre/post-only design is
+    # structurally blind to a mid-run disturbance that clears before the
+    # post sample (the r11 driver run's ten-query window read a CLEAN
+    # 1.0006 sentinel), so the timed loop below re-samples the sentinel
+    # at quartile checkpoints — the registry_sweep.py design — giving
+    # >= 5 equal-warmth samples per artifact. The per-query timed
+    # protocol (untimed warmup, min-of-N, inter-query GC + block drain)
+    # is byte-unchanged; the sentinel runs BETWEEN query timings.
+    sentinel_samples: list[float] = []
+    if _SENTINEL_QUERY in qs:
+        sentinel_samples.append(measure_sentinel(spark, qs, sf_dir, args.runs))
+    checkpoints = sorted({max(1, len(names) * k // 4) for k in (1, 2, 3)})
 
     # N timed runs per query, report the min — the standard steady-
     # state measurement (GC pauses and scheduler jitter inflate any
@@ -272,7 +293,7 @@ def main() -> None:
     # System.gc() between queries drains accumulated garbage so each
     # query starts from the same heap state.
     timings: dict[str, float] = {}
-    for name in names:
+    for qi, name in enumerate(names, 1):
         spark._jvm.System.gc()
         best = float("inf")
         for _ in range(max(1, args.runs)):
@@ -293,6 +314,10 @@ def main() -> None:
                 rdd.unpersist()
         except Exception:
             pass
+        if sentinel_samples and qi in checkpoints:
+            sentinel_samples.append(
+                measure_sentinel(spark, qs, sf_dir, args.runs)
+            )
 
     total = round(
         sum(timings.values())
@@ -307,10 +332,9 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    if sentinel_pre is not None:
-        out["sentinel"] = sentinel_verdict(
-            sentinel_pre, measure_sentinel(spark, qs, sf_dir, args.runs)
-        )
+    if sentinel_samples:
+        sentinel_samples.append(measure_sentinel(spark, qs, sf_dir, args.runs))
+        out["sentinel"] = sentinel_samples_verdict(sentinel_samples)
     if not args.all and iters:
         out["iterative_total"] = round(sum(timings[n] for n in iters), 4)
     if not args.all and r6:
@@ -361,13 +385,15 @@ def slim_stdout_line(
     budget: int = 1900,
 ) -> str:
     """The ONE stdout JSON line, guaranteed under the driver's ~2000-byte
-    tail capture. Degrade ladder (round-11 measurement fix, noted in
-    OPTIMIZATION_r11.md): the r11 sentinel fields pushed the headline
-    line to ~2020 chars, so the old single-step degrade silently dropped
-    the ENTIRE per-query dict from the driver's capture. Per-query
-    detail is the contract payload; the *_total fields are derivable
-    from it via BENCH_MANIFEST sections and the full sentinel lives in
-    the detail file — so shed those first, the queries dict last."""
+    tail capture. Round 12 (VERDICT r11 item 3): the r11 degrade ladder
+    shed the `*_total` section fields to make room for the sentinel,
+    which cost the driver round-over-round visibility of exactly the
+    sections the optimizations targeted. Fix: the stdout line always
+    carries the sentinel as its 2-field summary ({drift_ratio, noisy} —
+    the full sample list lives in the detail file) and is serialized
+    with compact separators, which fits the 60-query headline detail
+    PLUS every section total in ~1800 bytes. The degrade ladder stays
+    as a backstop for future growth: totals shed first, queries last."""
     slim = dict(out)
     slim["detail"] = out_path
     slim["queries"] = {
@@ -375,19 +401,19 @@ def slim_stdout_line(
     }
     if all_mode:
         slim.pop("queries")  # 283-query detail never fits; file has it
-    slim_line = json.dumps(slim)
+    if "sentinel" in slim:
+        s = slim["sentinel"]
+        slim["sentinel"] = {"drift_ratio": s["drift_ratio"], "noisy": s["noisy"]}
+    compact = {"separators": (",", ":")}
+    slim_line = json.dumps(slim, **compact)
     if len(slim_line) > budget:
         for k in list(slim):
             if k.endswith("_total"):
                 slim.pop(k)
-        slim_line = json.dumps(slim)
-    if len(slim_line) > budget and "sentinel" in slim:
-        s = slim["sentinel"]
-        slim["sentinel"] = {"drift_ratio": s["drift_ratio"], "noisy": s["noisy"]}
-        slim_line = json.dumps(slim)
+        slim_line = json.dumps(slim, **compact)
     if len(slim_line) > budget:
         slim.pop("queries", None)
-        slim_line = json.dumps(slim)
+        slim_line = json.dumps(slim, **compact)
     return slim_line
 
 

@@ -115,11 +115,15 @@ def test_bench_artifact_carries_sentinel(tmp_path):
     artifact = json.loads(out.read_text())
     s = artifact["sentinel"]
     assert s["query"] == _SENTINEL_QUERY
-    assert s["pre_sec"] > 0 and s["post_sec"] > 0
+    # round 12: pre + quartile checkpoints + post, all equal-warmth
+    assert len(s["samples_sec"]) >= 2 and all(x > 0 for x in s["samples_sec"])
     assert isinstance(s["noisy"], bool)
-    # the stdout line carries it too (driver-visible)
+    # the stdout line carries the 2-field summary (driver-visible);
+    # the full sample list lives in the artifact file only
     stdout_line = json.loads(r.stdout.strip().splitlines()[-1])
-    assert stdout_line["sentinel"] == s
+    assert stdout_line["sentinel"] == {
+        "drift_ratio": s["drift_ratio"], "noisy": s["noisy"]
+    }
 
 
 def test_slim_stdout_line_degrade_ladder():
@@ -140,16 +144,53 @@ def test_slim_stdout_line_degrade_ladder():
     }
     timings = {f"q{i:03d}": 0.123 for i in range(60)}
     head = list(timings)
-    # roomy budget: everything survives
-    full = json.loads(slim_stdout_line(out, timings, head, False, "/tmp/x", budget=5000))
+    # roomy budget: everything survives (sentinel always slims to its
+    # 2-field stdout summary — round 12)
+    full_line = slim_stdout_line(out, timings, head, False, "/tmp/x", budget=5000)
+    full = json.loads(full_line)
     assert len(full["queries"]) == 60 and "iterative_total" in full
+    assert full["sentinel"] == {"drift_ratio": 1.09, "noisy": False}
     # tight budget: totals shed, queries survive
     line = slim_stdout_line(out, timings, head, False, "/tmp/x",
-                            budget=len(json.dumps(full)) - 10)
+                            budget=len(full_line) - 10)
     mid = json.loads(line)
-    assert len(line) <= len(json.dumps(full)) - 10
+    assert len(line) <= len(full_line) - 10
     assert len(mid["queries"]) == 60
     assert not any(k.endswith("_total") for k in mid)
     # hopeless budget: queries dropped last, line still parses
     tiny = json.loads(slim_stdout_line(out, timings, head, False, "/tmp/x", budget=300))
     assert "queries" not in tiny and tiny["metric"] == "headline_queries_total"
+
+
+def test_slim_stdout_line_fits_the_real_headline_shape():
+    """Round-12 regression pin (VERDICT r11 item 3): the realistic
+    60-query headline line WITH every section total and the sentinel
+    summary must fit the 1900-byte budget — the r11 ladder shed the
+    totals, costing the driver section visibility."""
+    import json
+
+    from bench import slim_stdout_line
+
+    import bench
+
+    real_names = bench.headline_names()  # the actual frozen 60
+    timings = {n: 12.3456 for n in real_names}
+    out = {
+        "metric": "headline_queries_total", "value": 123.4567, "unit": "sec",
+        "sf": 0.1,
+        "sentinel": {"query": "q06_revenue_filter",
+                     "samples_sec": [0.11, 0.12, 0.11, 0.12, 0.11],
+                     "drift_ratio": 1.09, "noisy": False},
+        "iterative_total": 11.1234, "r6_total": 22.1234, "r7_total": 3.1234,
+        "r8_total": 44.1234, "r9_total": 5.1234, "r9b_total": 66.1234,
+        "r10_total": 7.1234, "r11_total": 8.1234,
+    }
+    line = slim_stdout_line(
+        out, timings, real_names, False,
+        "/root/repo/benchdata/bench_last.json",
+    )
+    assert len(line) <= 1900
+    parsed = json.loads(line)
+    assert len(parsed["queries"]) == 60
+    assert sum(1 for k in parsed if k.endswith("_total")) == 8
+    assert parsed["sentinel"] == {"drift_ratio": 1.09, "noisy": False}
