@@ -26,6 +26,7 @@ never float noise.
 
 from __future__ import annotations
 
+import os
 import random
 
 import pandas as pd
@@ -35,7 +36,14 @@ from p6_spark.plans.packing_r7 import _MIX_W
 from p6_spark.plans.registry import QUERIES
 from tests.test_fuzz_stats_r10 import SPARK_SEEDS, _duck, _spark_run, tdiv
 
-SEEDS = list(range(100))
+# Driver-budget gating (round 12, VERDICT r11 item 5): the full fuzz
+# panels (~4,500 parametrized cases across the r10/r11 files) pushed
+# the default pytest run past the driver wall budget (VERIFY_r11
+# tests_ok=false, tail cut at 81%). Default = the seeded first 12
+# cases per panel (deterministic, still covers the generator shape
+# classes); P6_FUZZ_FULL=1 restores the full sweep — run it in build
+# rounds / before changing any covered operator.
+SEEDS = list(range(100 if os.environ.get("P6_FUZZ_FULL") == "1" else 12))
 _EPOCH_CAP = 4  # pinned: rigor_r9._EPOCH_CAP (repetition cutoff)
 
 _DOC_SCHEMA = (

@@ -28,6 +28,7 @@ divergence, never float noise.
 
 from __future__ import annotations
 
+import os
 import hashlib
 import random
 
@@ -38,7 +39,14 @@ import pytest
 from p6_spark.plans.registry import QUERIES
 from tests.test_fuzz_stats_r10 import _duck, _spark_run, tdiv
 
-SEEDS = list(range(60))
+# Driver-budget gating (round 12, VERDICT r11 item 5): the full fuzz
+# panels (~4,500 parametrized cases across the r10/r11 files) pushed
+# the default pytest run past the driver wall budget (VERIFY_r11
+# tests_ok=false, tail cut at 81%). Default = the seeded first 12
+# cases per panel (deterministic, still covers the generator shape
+# classes); P6_FUZZ_FULL=1 restores the full sweep — run it in build
+# rounds / before changing any covered operator.
+SEEDS = list(range(60 if os.environ.get("P6_FUZZ_FULL") == "1" else 12))
 
 _DOC_SCHEMA = (
     "doc_id long, text string, lang string, source string, n_chars long"

@@ -8,6 +8,7 @@ a 3-seed subset through the Spark builder)."""
 
 from __future__ import annotations
 
+import os
 import hashlib
 import math
 import random
@@ -23,7 +24,14 @@ from tests.test_fuzz_stats_r10 import SPARK_SEEDS, _duck, _spark_run, rha, tdiv
 
 get_queries()
 
-SEEDS = list(range(100))
+# Driver-budget gating (round 12, VERDICT r11 item 5): the full fuzz
+# panels (~4,500 parametrized cases across the r10/r11 files) pushed
+# the default pytest run past the driver wall budget (VERIFY_r11
+# tests_ok=false, tail cut at 81%). Default = the seeded first 12
+# cases per panel (deterministic, still covers the generator shape
+# classes); P6_FUZZ_FULL=1 restores the full sweep — run it in build
+# rounds / before changing any covered operator.
+SEEDS = list(range(100 if os.environ.get("P6_FUZZ_FULL") == "1" else 12))
 
 
 # ---------------------------------------------------------------------------

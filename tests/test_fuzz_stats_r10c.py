@@ -8,6 +8,7 @@ operator against pure-Python exact references via the DuckDB oracle,
 
 from __future__ import annotations
 
+import os
 import random
 from collections import defaultdict
 
@@ -22,7 +23,14 @@ from tests.test_fuzz_stats_r10b import _events_panel, _matches
 
 get_queries()
 
-SEEDS = list(range(100))
+# Driver-budget gating (round 12, VERDICT r11 item 5): the full fuzz
+# panels (~4,500 parametrized cases across the r10/r11 files) pushed
+# the default pytest run past the driver wall budget (VERIFY_r11
+# tests_ok=false, tail cut at 81%). Default = the seeded first 12
+# cases per panel (deterministic, still covers the generator shape
+# classes); P6_FUZZ_FULL=1 restores the full sweep — run it in build
+# rounds / before changing any covered operator.
+SEEDS = list(range(100 if os.environ.get("P6_FUZZ_FULL") == "1" else 12))
 
 
 # ---------------------------------------------------------------------------
