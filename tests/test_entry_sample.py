@@ -26,17 +26,25 @@ def test_anchor_window_is_flagship_plus_parity():
     assert sum(n.startswith("p6_") for n in e._ANCHORS) == 3
 
 
-def test_rotation_prefers_never_certified_names():
-    # every rotating slot must go to a name with no driver record while
-    # enough such names remain (round 11: 211 uncertified >> 45 slots)
+def test_rotation_prefers_changed_code_then_never_certified():
+    # round 12 (VERDICT r11 item 4): the rotating window leads with the
+    # rewritten-query priority list (the driver must re-certify changed
+    # code), then fills with never-certified names while any remain
     certified = e._certified_names()
     sample = e.proposed_sample()
     rotating = sample[e._FIXED_N :]
+    prio_expected = [n for n in e._PRIORITY if n in set(e.queries())]
+    assert set(prio_expected) <= set(rotating)
+    non_prio = [n for n in rotating if n not in set(e._PRIORITY)]
     uncertified_pool = [
-        n for n in e.queries() if n not in certified and n not in e._ANCHORS
+        n
+        for n in e.queries()
+        if n not in certified
+        and n not in e._ANCHORS
+        and n not in set(e._PRIORITY)
     ]
-    if len(uncertified_pool) >= e._ROTATING_N:
-        assert all(n not in certified for n in rotating)
+    if len(uncertified_pool) >= len(non_prio):
+        assert all(n not in certified for n in non_prio)
 
 
 def test_sample_rotates_across_rounds_with_stable_anchors():
